@@ -14,6 +14,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# XLA CPU's default matmul precision goes through a reduced-precision oneDNN
+# path (~1e-3 rel error) — force true fp32 so parity tests compare math, not
+# backend quirks. TPU runs keep the default (bf16 MXU) for speed.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
 
 def load_reference_module(relpath, name=None):
     """Import a module file from /root/reference by path, with stubs for its

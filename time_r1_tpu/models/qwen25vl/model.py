@@ -1,0 +1,95 @@
+"""Qwen2.5-VL combined model: vision features merged into token embeddings.
+
+Equivalent capability to HF `Qwen2_5_VLForConditionalGeneration.forward`
+(used by the reference at timer1_trainer.py:449-457 for per-token logps and
+via `generate` at :568-573). The vision-token scatter is implemented as a
+static-shape cumsum gather + where (no boolean indexing), so the whole
+forward jits cleanly under pjit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import Qwen25VLConfig
+from .language import KVCache, decoder_forward, init_text_params, lm_logits
+from .vision import init_vision_params, vision_forward
+
+
+class VisionInputs(NamedTuple):
+    """Device-side vision inputs (host prep arrays already materialized)."""
+
+    patches: jnp.ndarray  # (P_pad, patch_input_dim)
+    perm: jnp.ndarray
+    pos_hw: jnp.ndarray
+    window_seg: jnp.ndarray
+    full_seg: jnp.ndarray
+    reverse: jnp.ndarray
+
+
+def init_params(cfg: Qwen25VLConfig, key, dtype=jnp.float32) -> dict:
+    kv, kt = jax.random.split(key)
+    return {
+        "visual": init_vision_params(cfg.vision, kv, dtype),
+        "text": init_text_params(cfg.text, kt, dtype),
+    }
+
+
+def merge_vision_embeddings(
+    embeds: jnp.ndarray,  # (B, S, hidden)
+    input_ids: jnp.ndarray,  # (B, S)
+    vision_features: jnp.ndarray,  # (U_pad, hidden) in original unit order
+    vision_token_ids: tuple[int, ...],
+) -> jnp.ndarray:
+    """Replace embeddings at vision-token positions with vision features,
+    consumed in order across the flattened (B, S) sequence.
+
+    Supports one vision modality per call (video OR image — the Time-R1
+    pipeline is video-only; both ids are accepted so image-only prompts work)."""
+    B, S, H = embeds.shape
+    flat_ids = input_ids.reshape(-1)
+    is_vis = jnp.zeros_like(flat_ids, dtype=bool)
+    for tid in vision_token_ids:
+        is_vis |= flat_ids == tid
+    # k-th vision token (flattened order) takes vision_features[k]
+    idx = jnp.cumsum(is_vis.astype(jnp.int32)) - 1
+    idx = jnp.clip(idx, 0, vision_features.shape[0] - 1)
+    gathered = jnp.take(vision_features, idx, axis=0).astype(embeds.dtype)
+    merged = jnp.where(is_vis[:, None], gathered, embeds.reshape(-1, H))
+    return merged.reshape(B, S, H)
+
+
+def forward(
+    params: dict,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,  # (B, S)
+    position_ids: jnp.ndarray,  # (3, B, S) from rope.get_rope_index
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S)
+    vision: Optional[VisionInputs] = None,
+    cache: Optional[KVCache] = None,
+    use_flash: bool = False,
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
+    """Full forward → (logits (B, S, V) fp32, updated KV cache)."""
+    embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], input_ids, axis=0)
+    if vision is not None:
+        feats = vision_forward(
+            params["visual"],
+            cfg.vision,
+            vision.patches,
+            vision.perm,
+            vision.pos_hw,
+            vision.window_seg,
+            vision.full_seg,
+            vision.reverse,
+        )
+        embeds = merge_vision_embeddings(
+            embeds, input_ids, feats, (cfg.video_token_id, cfg.image_token_id)
+        )
+    hidden, new_cache = decoder_forward(
+        params["text"], cfg.text, embeds, position_ids,
+        attention_mask=attention_mask, cache=cache, use_flash=use_flash,
+    )
+    return lm_logits(params["text"], cfg.text, hidden), new_cache
