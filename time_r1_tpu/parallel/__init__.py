@@ -1,0 +1,12 @@
+from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, maybe_init_distributed
+from .sharding import param_shardings, shard_params, spec_for_path
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "maybe_init_distributed",
+    "param_shardings",
+    "shard_params",
+    "spec_for_path",
+]

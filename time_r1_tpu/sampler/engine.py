@@ -1,0 +1,244 @@
+"""Batched autoregressive generation engine (TPU-native vLLM-capability, N2).
+
+Replaces the reference's vLLM dependency (vllm_infer.py:40-171) with a jitted
+JAX engine:
+
+- static-shape KV cache in HBM (prefill writes [0, S); decode appends);
+- left-padded prompt buckets (power-of-two bucketing keeps recompiles bounded);
+- decode loop under `jax.lax.while_loop` with early exit when every row hit a
+  stop token — all sampling (greedy / temperature / top-k / top-p /
+  repetition-penalty) happens ON DEVICE;
+- G-way grouped rollouts for GRPO (`num_return_sequences`, parity with
+  timer1_trainer.py:371-377);
+- stop ids [151645, 151643] with include-stop-in-output semantics
+  (vllm_infer.py:112-114 parity).
+
+The two-pass MCQ answer-forcing flow lives at the text level in
+sampler/text_engine.py (vllm_infer.py:130-169 parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen25vl import (
+    KVCache,
+    Qwen25VLConfig,
+    VisionInputs,
+    forward,
+    get_rope_index,
+    prepare_vision_inputs,
+)
+from .params import SamplingParams
+
+
+@dataclass
+class Request:
+    """One tokenized generation request."""
+
+    input_ids: list  # prompt token ids (video placeholder tokens already expanded)
+    patches: Optional[np.ndarray] = None  # (P, patch_input_dim) fp32
+    grid_thw: Optional[tuple] = None  # (t, h, w)
+    second_per_grid_t: float = 1.0
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def sample_tokens(
+    logits: jnp.ndarray,  # (B, V) fp32
+    rng: jnp.ndarray,
+    sp: SamplingParams,
+    token_counts: Optional[jnp.ndarray] = None,  # (B, V) generated-token counts
+) -> jnp.ndarray:
+    """On-device token sampling. Greedy when temperature == 0."""
+    if sp.repetition_penalty != 1.0 and token_counts is not None:
+        seen = token_counts > 0
+        penalized = jnp.where(
+            logits > 0, logits / sp.repetition_penalty, logits * sp.repetition_penalty
+        )
+        logits = jnp.where(seen, penalized, logits)
+    if sp.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / sp.temperature
+    if sp.top_k > 0:
+        kth = jax.lax.top_k(logits, sp.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if sp.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < sp.top_p  # smallest prefix reaching top_p
+        threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+class DecodeState(NamedTuple):
+    cache: KVCache
+    tokens: jnp.ndarray  # (B, max_new) generated tokens (pad_id after stop)
+    last: jnp.ndarray  # (B,) last sampled token
+    done: jnp.ndarray  # (B,) bool
+    step: jnp.ndarray  # () int32
+    rng: jnp.ndarray
+    counts: jnp.ndarray  # (B, V) int32 (or (B, 1) when unused)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len", "sp"))
+def prefill_and_decode(
+    params: dict,
+    cfg: Qwen25VLConfig,
+    ids: jnp.ndarray,  # (B, S) left-padded prompts
+    pos_ids: jnp.ndarray,  # (3, B, S)
+    mask: jnp.ndarray,  # (B, S + max_new)
+    vis: Optional[VisionInputs],
+    start_pos: jnp.ndarray,  # (B,) position of first generated token
+    prompt_len: int,
+    sp: SamplingParams,
+    rng: jnp.ndarray,
+) -> jnp.ndarray:
+    """Jitted prefill + decode; returns generated tokens (B, max_new)."""
+    B = ids.shape[0]
+    max_len = mask.shape[1]
+    max_new = sp.max_new_tokens
+    dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    cache = KVCache.zeros(cfg.text, B, max_len, dtype=dtype)
+    logits, cache = forward(
+        params, cfg, ids, pos_ids, attention_mask=mask, vision=vis, cache=cache
+    )
+    rng, sub = jax.random.split(rng)
+    stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
+    track_counts = sp.repetition_penalty != 1.0
+    V = logits.shape[-1]
+
+    first = sample_tokens(logits[:, -1], sub, sp)
+    counts0 = jnp.zeros((B, V if track_counts else 1), jnp.int32)
+    if track_counts:
+        counts0 = counts0.at[jnp.arange(B), first].add(1)
+    tokens0 = jnp.full((B, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
+    done0 = jnp.isin(first, stop_ids)
+
+    def cond(s: DecodeState):
+        return (s.step < max_new) & ~jnp.all(s.done)
+
+    def body(s: DecodeState):
+        pos = start_pos + s.step  # (B,) all three mrope axes advance together
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+        lg, cache = forward(
+            params, cfg, s.last[:, None], pos3, attention_mask=mask, cache=s.cache
+        )
+        rng2, sub2 = jax.random.split(s.rng)
+        nxt = sample_tokens(lg[:, -1], sub2, sp, s.counts if track_counts else None)
+        nxt = jnp.where(s.done, cfg.pad_token_id, nxt)
+        if track_counts:
+            counts = s.counts.at[jnp.arange(B), nxt].add(jnp.where(s.done, 0, 1))
+        else:
+            counts = s.counts
+        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
+        done = s.done | jnp.isin(nxt, stop_ids)
+        return DecodeState(cache, tokens, nxt, done, s.step + 1, rng2, counts)
+
+    init = DecodeState(cache, tokens0, first, done0, jnp.ones((), jnp.int32), rng, counts0)
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens
+
+
+class Engine:
+    """Request-level generation engine over a loaded model."""
+
+    def __init__(self, params: dict, cfg: Qwen25VLConfig, dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.dtype = dtype
+
+    def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
+        """Generate completions for a batch of requests; returns token lists
+        (stop token included when sp.include_stop_token)."""
+        G = sp.num_return_sequences
+        reqs = [r for r in requests for _ in range(G)]
+        B = len(reqs)
+        prompt_lens = [len(r.input_ids) for r in reqs]
+        S = _bucket(max(prompt_lens))
+        max_len = S + sp.max_new_tokens
+
+        ids = np.full((B, S), self.cfg.pad_token_id, np.int64)
+        mask = np.zeros((B, max_len), np.int64)
+        for i, r in enumerate(reqs):
+            L = len(r.input_ids)
+            ids[i, S - L :] = r.input_ids
+            mask[i, S - L : S] = 1
+        # decode slots: causal bias already hides unwritten future positions
+        mask[:, S:] = 1
+
+        vis = None
+        grids, spgs, patch_list = [], [], []
+        for r in reqs:
+            if r.patches is not None:
+                grids.append(tuple(int(x) for x in r.grid_thw))
+                spgs.append(r.second_per_grid_t)
+                patch_list.append(r.patches)
+        if patch_list:
+            patches = np.concatenate(patch_list, axis=0)
+            unit = self.cfg.vision.merge_unit
+            pad_patches = _bucket(patches.shape[0], 256)
+            pad_patches = ((pad_patches + unit - 1) // unit) * unit
+            prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
+            pp = np.zeros((pad_patches, patches.shape[1]), np.float32)
+            pp[: patches.shape[0]] = patches
+            vis = VisionInputs(
+                patches=jnp.asarray(pp, self.dtype),
+                perm=jnp.asarray(prep.perm),
+                pos_hw=jnp.asarray(prep.pos_hw),
+                window_seg=jnp.asarray(prep.window_seg),
+                full_seg=jnp.asarray(prep.full_seg),
+                reverse=jnp.asarray(prep.reverse),
+            )
+
+        video_grid_thw = np.array(grids, np.int64) if grids else None
+        pos_ids, _ = get_rope_index(
+            self.cfg,
+            ids,
+            video_grid_thw=video_grid_thw,
+            second_per_grid_ts=spgs if spgs else None,
+            attention_mask=mask[:, :S],
+        )
+        start_pos = pos_ids.max(axis=(0, 2)) + 1  # (B,)
+
+        rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
+        tokens = prefill_and_decode(
+            self.params,
+            self.cfg,
+            jnp.asarray(ids),
+            jnp.asarray(pos_ids),
+            jnp.asarray(mask),
+            vis,
+            jnp.asarray(start_pos),
+            S,
+            sp,
+            rng,
+        )
+        tokens = np.asarray(tokens)
+
+        out = []
+        stop_set = set(sp.stop_token_ids)
+        for i in range(B):
+            row = []
+            for tok in tokens[i]:
+                t = int(tok)
+                if t in stop_set:
+                    if sp.include_stop_token:
+                        row.append(t)
+                    break
+                row.append(t)
+            out.append(row)
+        return out
