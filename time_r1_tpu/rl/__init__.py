@@ -1,0 +1,15 @@
+from .grpo import GRPOBatch, GRPOHyperParams, compute_group_advantages, grpo_loss, make_train_step
+from .rollout import build_grpo_batch
+from .trainer import GRPOTrainer, TrainConfig, make_conversation_video
+
+__all__ = [
+    "GRPOBatch",
+    "GRPOHyperParams",
+    "compute_group_advantages",
+    "grpo_loss",
+    "make_train_step",
+    "build_grpo_batch",
+    "GRPOTrainer",
+    "TrainConfig",
+    "make_conversation_video",
+]

@@ -1,0 +1,217 @@
+"""GRPO loss + pjit train step (TPU-native re-design of C1/C2).
+
+Reference semantics (timer1_trainer.py:512-782, timer1_trainer_ft.py:537-857):
+
+- G rollouts per prompt (num_generations, recipes use G=8, T=1.0);
+- completion mask: everything up to and INCLUDING the first EOS (:581-590);
+- per-token logps + full-distribution entropy (:449-481) — computed here in
+  sequence chunks so the (B·G, T, V) fp32 logits never materialize;
+- optional KL vs reference weights: exp(Δ) − Δ − 1 with Δ = ref_logp − logp
+  (:635-639), β = GRPOConfig default 0.04 unless overridden;
+- group-normalized advantages (r − μ_G)/(σ_G + 1e-4) with the unbiased
+  (Bessel, n−1) std that torch.std uses (:701-712);
+- two loss reductions (:713-737):
+  * use_grpo=True : vanilla GRPO — per-sequence token-mean, then batch mean;
+  * use_grpo=False: PPO-clip ε_low=ε_high=0.2 — GLOBAL token mean;
+  both use the ratio trick exp(logp − stop_grad(logp)) (on-policy: ratio ≡ 1
+  forward, policy-gradient backward).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen25vl import Qwen25VLConfig, VisionInputs
+from ..models.qwen25vl.language import decoder_forward
+from ..models.qwen25vl.model import merge_vision_embeddings
+from ..models.qwen25vl.vision import vision_forward
+
+
+@dataclass(frozen=True)
+class GRPOHyperParams:
+    num_generations: int = 8
+    beta: float = 0.04
+    epsilon_low: float = 0.2  # hard-coded in reference (timer1_trainer.py:388-393)
+    epsilon_high: float = 0.2
+    use_grpo: bool = False  # False → PPO-clip (reference default path)
+    logp_chunk: int = 128  # sequence chunk for log_softmax memory bound
+    fix_vit: bool = True  # freeze ViT except merger (timer1_trainer.py:272-288)
+
+
+class GRPOBatch(NamedTuple):
+    """One train step's device batch (B = prompts·G rows)."""
+
+    input_ids: jnp.ndarray  # (B, T) prompt+completion, left-padded prompts
+    position_ids: jnp.ndarray  # (3, B, T)
+    attention_mask: jnp.ndarray  # (B, T) 1 for real tokens
+    completion_mask: jnp.ndarray  # (B, T) 1 on completion tokens (incl. first EOS)
+    advantages: jnp.ndarray  # (B,)
+    vision: Optional[VisionInputs]  # shared video patches (already replicated rows)
+    ref_logps: Optional[jnp.ndarray]  # (B, T-1) or None when beta == 0
+
+
+def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.ndarray:
+    """(r − group mean) / (group std + 1e-4), torch-std (ddof=1) parity."""
+    r = np.asarray(rewards, np.float32).reshape(-1, num_generations)
+    mean = r.mean(axis=1, keepdims=True)
+    std = r.std(axis=1, ddof=1, keepdims=True)
+    return ((r - mean) / (std + 1e-4)).reshape(-1)
+
+
+def _hidden_states(params, cfg: Qwen25VLConfig, batch: GRPOBatch) -> jnp.ndarray:
+    """Embed + merge vision + run decoder → final hidden (B, T, H)."""
+    embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], batch.input_ids, axis=0)
+    if batch.vision is not None:
+        v = batch.vision
+        feats = vision_forward(
+            params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
+            v.window_seg, v.full_seg, v.reverse,
+        )
+        embeds = merge_vision_embeddings(
+            embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id)
+        )
+    hidden, _ = decoder_forward(
+        params["text"], cfg.text, embeds, batch.position_ids,
+        attention_mask=batch.attention_mask,
+    )
+    return hidden
+
+
+def per_token_logps_entropy(
+    params, cfg: Qwen25VLConfig, hidden: jnp.ndarray, targets: jnp.ndarray, chunk: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunked per-token log p(target) and full-dist entropy.
+
+    hidden: (B, T-1, H) — hidden states at predicting positions.
+    targets: (B, T-1) — the next tokens.
+    Returns (logps (B, T-1), entropy (B, T-1)), both fp32.
+    """
+    if cfg.text.tie_word_embeddings:
+        w = params["text"]["embed_tokens"]["embedding"].T
+    else:
+        w = params["text"]["lm_head"]["kernel"]
+    B, Tm1, H = hidden.shape
+    pad = (-Tm1) % chunk
+    hp = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+    tp = jnp.pad(targets, ((0, 0), (0, pad)))
+    n_chunks = (Tm1 + pad) // chunk
+    hp = hp.reshape(B, n_chunks, chunk, H).swapaxes(0, 1)  # (n, B, c, H)
+    tp = tp.reshape(B, n_chunks, chunk).swapaxes(0, 1)
+
+    def step(_, ht):
+        h, t = ht
+        logits = jnp.einsum("bch,hv->bcv", h, w, preferred_element_type=jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tgt_logit = jnp.take_along_axis(logits, t[..., None], axis=-1)[..., 0]
+        logp = tgt_logit - logz
+        # H = −Σ p·log p = logz − Σ p·logit
+        p = jax.nn.softmax(logits, axis=-1)
+        ent = logz - jnp.sum(p * logits, axis=-1)
+        return None, (logp, ent)
+
+    _, (logps, ents) = jax.lax.scan(step, None, (hp, tp))
+    logps = logps.swapaxes(0, 1).reshape(B, Tm1 + pad)[:, :Tm1]
+    ents = ents.swapaxes(0, 1).reshape(B, Tm1 + pad)[:, :Tm1]
+    return logps, ents
+
+
+def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOBatch) -> jnp.ndarray:
+    """Per-token logps under reference weights (no grad)."""
+    hidden = _hidden_states(params, cfg, batch)
+    logps, _ = per_token_logps_entropy(
+        params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
+    )
+    return logps
+
+
+def grpo_loss(
+    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOBatch
+) -> tuple[jnp.ndarray, dict]:
+    """Loss + metrics for one batch. Differentiable in `params`."""
+    hidden = _hidden_states(params, cfg, batch)
+    logps, entropy = per_token_logps_entropy(
+        params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
+    )
+    # masks aligned with the shifted token axis (token t predicted at t-1)
+    comp_mask = batch.completion_mask[:, 1:].astype(jnp.float32)
+    adv = batch.advantages[:, None].astype(jnp.float32)
+
+    coef_1 = jnp.exp(logps - jax.lax.stop_gradient(logps))
+    metrics = {}
+    if hp.beta != 0.0 and batch.ref_logps is not None:
+        delta = batch.ref_logps - logps
+        per_token_kl = jnp.exp(delta) - delta - 1.0
+    else:
+        per_token_kl = None
+
+    denom_seq = jnp.maximum(comp_mask.sum(axis=1), 1.0)
+    if hp.use_grpo:
+        per_token_loss = coef_1 * adv
+        if per_token_kl is not None:
+            per_token_loss = -(per_token_loss - hp.beta * per_token_kl)
+        else:
+            per_token_loss = -per_token_loss
+        loss = jnp.mean(jnp.sum(per_token_loss * comp_mask, axis=1) / denom_seq)
+    else:
+        coef_2 = jnp.clip(coef_1, 1.0 - hp.epsilon_low, 1.0 + hp.epsilon_high)
+        per_token_loss = -jnp.minimum(coef_1 * adv, coef_2 * adv)
+        if per_token_kl is not None:
+            per_token_loss = per_token_loss + hp.beta * per_token_kl
+        loss = jnp.sum(per_token_loss * comp_mask) / jnp.maximum(comp_mask.sum(), 1.0)
+        # clip-ratio diagnostics (timer1_trainer_ft.py:820-842)
+        is_low_clipped = (coef_1 < 1 - hp.epsilon_low) & (adv < 0)
+        is_high_clipped = (coef_1 > 1 + hp.epsilon_high) & (adv > 0)
+        denom = jnp.maximum(comp_mask.sum(), 1.0)
+        metrics["clip_ratio/low_mean"] = jnp.sum(is_low_clipped * comp_mask) / denom
+        metrics["clip_ratio/high_mean"] = jnp.sum(is_high_clipped * comp_mask) / denom
+        metrics["clip_ratio/region_mean"] = (
+            jnp.sum((is_low_clipped | is_high_clipped) * comp_mask) / denom
+        )
+
+    if per_token_kl is not None:
+        metrics["kl"] = jnp.mean(jnp.sum(per_token_kl * comp_mask, axis=1) / denom_seq)
+    metrics["completion_length"] = jnp.mean(batch.completion_mask.sum(axis=1).astype(jnp.float32))
+    metrics["generation_entropy"] = jnp.mean(jnp.sum(entropy * comp_mask, axis=1) / denom_seq)
+    return loss, metrics
+
+
+def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer):
+    """Build the jitted (pjit-compatible) train step:
+    (params, opt_state, batch) → (params, opt_state, loss, metrics).
+
+    fix_vit: gradients for the vision tower (except merger) are zeroed
+    (timer1_trainer.py:272-288 capability)."""
+
+    def zero_frozen(tree):
+        """fix_vit: ViT patch-embed + blocks frozen; merger stays trainable
+        (timer1_trainer.py:272-288). Applied to grads (correct grad-norm) AND
+        to updates (so weight decay can't drift frozen params either)."""
+        if not hp.fix_vit:
+            return tree
+        vis = dict(tree["visual"])
+        vis["patch_embed"] = jax.tree.map(jnp.zeros_like, vis["patch_embed"])
+        vis["blocks"] = jax.tree.map(jnp.zeros_like, vis["blocks"])
+        return {**tree, "visual": vis}
+
+    @jax.jit
+    def train_step(params, opt_state, batch: GRPOBatch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: grpo_loss(p, cfg, hp, batch), has_aux=True
+        )(params)
+        grads = zero_frozen(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = zero_frozen(updates)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+        )
+        metrics = dict(metrics, grad_norm=gnorm, loss=loss)
+        return params, opt_state, loss, metrics
+
+    return train_step

@@ -1,0 +1,283 @@
+"""GRPO trainer: the training loop around the jitted train step (C1/C2 parity).
+
+Reference equivalents:
+- TimeR1_Trainer / TimeR1_Trainer_ft construction surface
+  (timer1_trainer.py:184-206): model, reward_funcs, metric_funcs, args,
+  train_dataset, max_pixels/min_pixels.
+- Per-step flow (compute_loss :512-782): decode video → G rollouts with the
+  LIVE policy weights (no ZeRO-3 gather needed here — the sampler shares the
+  sharded params) → rewards → advantages → loss/update.
+- Prompt template v1 (:63-67), conversation shape (:490-510).
+- Metrics dict averaged per logging step (:407-408, 784-793).
+- Epoch-end checkpointing + stop-after-N-epochs callbacks (main.py:497-539),
+  resume max_steps arithmetic (main.py:589-618).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.processor import Qwen25VLProcessor, render_chat_template
+from ..models.qwen25vl import Qwen25VLConfig
+from ..utils.rewards import METRIC_FUNCS_REGISTRY, REWARD_FUNCS_REGISTRY
+from ..sampler import Engine, Request, SamplingParams
+from .grpo import GRPOHyperParams, compute_group_advantages, compute_ref_logps, grpo_loss, make_train_step
+from .rollout import build_grpo_batch
+
+SYSTEM_PROMPT = "You are a video analysis expert."
+
+# Prompt templates v1/v2/v3 (timer1_trainer.py:63-67, timer1_trainer_ft.py:61-85)
+QUESTION_TEMPLATE_TG_V1 = """To accurately pinpoint the event "[EVENT]" in the video, determine the precise time period of the event.
+
+Output your thought process within the <think> </think> tags, including analysis with either specific time ranges (xx.xx to xx.xx) in <timestep> </timestep> tags.
+
+Then, provide the start and end times (in seconds, precise to two decimal places) in the format "start time to end time" within the <answer> </answer> tags. For example: "12.54 to 17.83"."""
+
+
+@dataclass
+class TrainConfig:
+    """Flag-name parity with the reference recipes (main.py:44-119 + GRPOConfig)."""
+
+    output_dir: str = "./logs/run"
+    learning_rate: float = 1e-6
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_ratio: float = 0.0
+    num_train_epochs: float = 5
+    gradient_accumulation_steps: int = 2
+    per_device_train_batch_size: int = 1  # reference supports only 1 (SURVEY §3.1)
+    max_prompt_length: int = 8192
+    max_completion_length: int = 200
+    num_generations: int = 8
+    temperature: float = 1.0
+    beta: float = 0.04
+    use_grpo: bool = False
+    fix_vit: bool = True
+    prompt_type: str = "v1"
+    total_pixels: int = 3584 * 28 * 28
+    min_pixels: int = 16 * 28 * 28
+    logging_steps: int = 1
+    save_steps: int = 50
+    save_strategy: str = "steps"  # or "epoch"
+    save_only_model: bool = True
+    seed: int = 42
+    is_early_stopping: bool = False  # stop after 1 epoch (SF rounds)
+    resume_from_checkpoint: Optional[str] = None
+
+
+def make_conversation_video(example: dict, prompt_type: str, total_pixels: int, min_pixels: int):
+    """timer1_trainer.py:490-510 parity."""
+    if prompt_type == "v1":
+        prompt_text = QUESTION_TEMPLATE_TG_V1.replace("[EVENT]", example["problem"])
+    else:
+        raise ValueError(f"prompt_type {prompt_type!r} not supported yet")
+    return [
+        {
+            "role": "user",
+            "content": [
+                {"type": "text", "text": prompt_text},
+                {
+                    "type": "video",
+                    "video": example["video_path"],
+                    "video_start": example.get("video_start"),
+                    "video_end": example.get("video_end"),
+                    "total_pixels": total_pixels,
+                    "min_pixels": min_pixels,
+                },
+            ],
+        }
+    ]
+
+
+class GRPOTrainer:
+    """The training loop. `video_loader(ele: dict) -> (frames TCHW float, sample_fps)`
+    is injected so tests can fake the decode path and production uses the
+    native FFmpeg pipeline (video/)."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: Qwen25VLConfig,
+        processor: Qwen25VLProcessor,
+        reward_funcs: Sequence[Callable],
+        metric_funcs: Sequence[Callable] = (),
+        config: TrainConfig = TrainConfig(),
+        video_loader: Optional[Callable] = None,
+        ref_params: Optional[dict] = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.processor = processor
+        self.reward_funcs = list(reward_funcs)
+        self.metric_funcs = list(metric_funcs)
+        self.c = config
+        self.video_loader = video_loader
+        self.dtype = dtype
+        self.params = params
+        self.ref_params = ref_params if config.beta != 0.0 else None
+        self.engine = Engine(params, cfg, dtype=dtype)
+
+        self.hp = GRPOHyperParams(
+            num_generations=config.num_generations,
+            beta=config.beta,
+            use_grpo=config.use_grpo,
+            fix_vit=config.fix_vit,
+        )
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adamw(
+                learning_rate=config.learning_rate,
+                b1=config.adam_beta1,
+                b2=config.adam_beta2,
+                eps=config.adam_epsilon,
+                weight_decay=config.weight_decay,
+            ),
+        )
+        # gradient accumulation à la reference (gradient_accumulation_steps)
+        if config.gradient_accumulation_steps > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=config.gradient_accumulation_steps
+            )
+        self.opt_state = self.optimizer.init(self.params)
+        self._train_step = make_train_step(cfg, self.hp, self.optimizer)
+        self._metrics: dict[str, list] = {}
+        self.global_step = 0
+        self._rng = np.random.default_rng(config.seed)
+
+    # ------------------------------------------------------------------
+    def _log_metric(self, key: str, value: float):
+        self._metrics.setdefault(key, []).append(float(value))
+
+    def pop_metrics(self) -> dict:
+        out = {k: sum(v) / len(v) for k, v in self._metrics.items() if v}
+        self._metrics.clear()
+        return out
+
+    # ------------------------------------------------------------------
+    def step(self, example: dict) -> dict:
+        """One optimizer micro-step on one dataset example (bs=1 × G rollouts)."""
+        c = self.c
+        # 1. video decode + budgeted resize (host / native lib)
+        ele = {
+            "video": example["video_path"],
+            "total_pixels": c.total_pixels,
+            "min_pixels": c.min_pixels,
+        }
+        if example.get("video_start") is not None:
+            ele["video_start"] = example["video_start"]
+        if example.get("video_end") is not None:
+            ele["video_end"] = example["video_end"]
+        frames, sample_fps = self.video_loader(ele)
+
+        # 2. prompt construction + processor
+        conv = make_conversation_video(example, c.prompt_type, c.total_pixels, c.min_pixels)
+        prompt_text = self.processor.apply_chat_template(conv, add_generation_prompt=True)
+        proc = self.processor(text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps])
+        prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
+        grid = tuple(int(x) for x in proc.video_grid_thw[0])
+        spg = proc.second_per_grid_ts[0]
+
+        # 3. G rollouts with the live policy
+        sp = SamplingParams(
+            temperature=c.temperature,
+            max_new_tokens=c.max_completion_length,
+            stop_token_ids=(self.cfg.eos_token_id,),
+            num_return_sequences=c.num_generations,
+            seed=int(self._rng.integers(0, 2**31 - 1)),
+        )
+        self.engine.params = self.params  # live weights
+        completions = self.engine.generate(
+            [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
+        )
+        completion_texts = self.processor.batch_decode(
+            [self._strip_stop(cmp) for cmp in completions], skip_special_tokens=True
+        )
+
+        # 4. rewards (host) + advantages
+        G = c.num_generations
+        reward_kwargs = {
+            k: [example[k]] * G for k in example.keys() if k not in ("prompt", "completion")
+        }
+        rewards_per_func = np.zeros((G, len(self.reward_funcs)), np.float32)
+        for i, fn in enumerate(self.reward_funcs):
+            out = fn(completions=completion_texts, **reward_kwargs)
+            rewards_per_func[:, i] = [0.0 if r is None else float(r) for r in out]
+        rewards = rewards_per_func.sum(axis=1)
+        advantages = compute_group_advantages(rewards, G)
+
+        for i, fn in enumerate(self.reward_funcs):
+            self._log_metric(f"rewards/{fn.__name__}", rewards_per_func[:, i].mean())
+        for fn in self.metric_funcs:
+            vals = fn(completions=completion_texts, **reward_kwargs)
+            vals = [v for v in vals if v is not None]
+            if vals:
+                self._log_metric(f"metrics/{fn.__name__}", float(np.mean(vals)))
+        self._log_metric("reward", rewards.mean())
+        self._log_metric("reward_std", rewards.reshape(-1, G).std(axis=1, ddof=1).mean())
+
+        # 5. assemble batch + ref logps + update
+        batch = build_grpo_batch(
+            self.cfg,
+            prompt_ids,
+            completions,
+            advantages,
+            patches=proc.pixel_values_videos,
+            grid_thw=grid,
+            second_per_grid_t=spg,
+            dtype=self.dtype,
+        )
+        if self.ref_params is not None:
+            ref_logps = compute_ref_logps(self.ref_params, self.cfg, self.hp, batch)
+            batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
+
+        self.params, self.opt_state, loss, metrics = self._train_step(
+            self.params, self.opt_state, batch
+        )
+        for k, v in metrics.items():
+            self._log_metric(k, float(v))
+        self.global_step += 1
+        return {"loss": float(loss), "reward": float(rewards.mean())}
+
+    def _strip_stop(self, comp):
+        # decode for rewards without the stop token (skip_special_tokens parity)
+        return [t for t in comp if t != self.cfg.eos_token_id]
+
+    # ------------------------------------------------------------------
+    def train(self, dataset: Sequence[dict], log_fn: Optional[Callable] = None):
+        """Epoch loop with per-epoch checkpointing and early stopping."""
+        c = self.c
+        steps_per_epoch = math.ceil(len(dataset) / c.gradient_accumulation_steps)
+        n_epochs = 1 if c.is_early_stopping else int(math.ceil(c.num_train_epochs))
+        for epoch in range(n_epochs):
+            for example in dataset:
+                info = self.step(example)
+                if self.global_step % c.logging_steps == 0:
+                    logs = {"epoch": epoch, "step": self.global_step, **self.pop_metrics()}
+                    (log_fn or print)(logs)
+                if c.save_strategy == "steps" and self.global_step % c.save_steps == 0:
+                    self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{self.global_step}"))
+            if c.save_strategy == "epoch":
+                self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{self.global_step}"))
+            self.save_checkpoint(os.path.join(c.output_dir, f"epoch-{epoch + 1}"))
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        from ..utils.checkpoint import save_params
+
+        os.makedirs(path, exist_ok=True)
+        save_params(path, self.params)
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump({"global_step": self.global_step}, f)
