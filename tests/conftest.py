@@ -20,6 +20,9 @@ if REPO_ROOT not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "float32")
+# the axon TPU plugin overrides the JAX_PLATFORMS env var — force CPU here so
+# the virtual 8-device mesh (xla_force_host_platform_device_count) is in effect
+jax.config.update("jax_platforms", "cpu")
 
 
 def load_reference_module(relpath, name=None):
@@ -32,7 +35,11 @@ def load_reference_module(relpath, name=None):
     import types
 
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
+        # transformers probes torchvision.__spec__; a bare ModuleType has None
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
         tv.__version__ = "0.21.0"
         tv.io = types.ModuleType("torchvision.io")
         tv.transforms = types.ModuleType("torchvision.transforms")

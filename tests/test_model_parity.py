@@ -120,14 +120,7 @@ def test_full_forward_parity_video(hf_model, jx_params, grid, spg):
 
     prep = prepare_vision_inputs([grid], CFG.vision)
     pos_ids, _ = get_rope_index(CFG, input_ids, video_grid_thw=grid_thw, second_per_grid_ts=[spg])
-    vis = VisionInputs(
-        patches=jnp.asarray(patches),
-        perm=jnp.asarray(prep.perm),
-        pos_hw=jnp.asarray(prep.pos_hw),
-        window_seg=jnp.asarray(prep.window_seg),
-        full_seg=jnp.asarray(prep.full_seg),
-        reverse=jnp.asarray(prep.reverse),
-    )
+    vis = VisionInputs.build(prep, jnp.asarray(patches))
     logits, _ = forward(jx_params, CFG, jnp.asarray(input_ids), jnp.asarray(pos_ids), vision=vis)
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-4, rtol=2e-3)
 
@@ -167,16 +160,7 @@ def test_vision_padding_invariance(jx_params):
 
     def run(pad_to):
         prep = prepare_vision_inputs([grid], CFG.vision, pad_patches_to=pad_to)
-        pp = np.zeros((pad_to or n_patches, CFG.vision.patch_input_dim), np.float32)
-        pp[:n_patches] = patches
-        vis = VisionInputs(
-            patches=jnp.asarray(pp),
-            perm=jnp.asarray(prep.perm),
-            pos_hw=jnp.asarray(prep.pos_hw),
-            window_seg=jnp.asarray(prep.window_seg),
-            full_seg=jnp.asarray(prep.full_seg),
-            reverse=jnp.asarray(prep.reverse),
-        )
+        vis = VisionInputs.build(prep, jnp.asarray(patches))
         logits, _ = forward(jx_params, CFG, jnp.asarray(input_ids), jnp.asarray(pos_ids), vision=vis)
         return np.asarray(logits)
 

@@ -22,12 +22,26 @@ from .vision import init_vision_params, vision_forward
 class VisionInputs(NamedTuple):
     """Device-side vision inputs (host prep arrays already materialized)."""
 
-    patches: jnp.ndarray  # (P_pad, patch_input_dim)
+    patches: jnp.ndarray  # (n_patch_rows, patch_input_dim)
     perm: jnp.ndarray
     pos_hw: jnp.ndarray
-    window_seg: jnp.ndarray
-    full_seg: jnp.ndarray
+    key_valid: jnp.ndarray
+    full_gather: jnp.ndarray
+    full_inverse: jnp.ndarray
     reverse: jnp.ndarray
+
+    @staticmethod
+    def build(prep, patches: jnp.ndarray) -> "VisionInputs":
+        """Materialize a VisionPrep + patch buffer as device arrays."""
+        return VisionInputs(
+            patches=patches,
+            perm=jnp.asarray(prep.perm),
+            pos_hw=jnp.asarray(prep.pos_hw),
+            key_valid=jnp.asarray(prep.key_valid),
+            full_gather=jnp.asarray(prep.full_gather),
+            full_inverse=jnp.asarray(prep.full_inverse),
+            reverse=jnp.asarray(prep.reverse),
+        )
 
 
 def init_params(cfg: Qwen25VLConfig, key, dtype=jnp.float32) -> dict:
@@ -81,8 +95,9 @@ def forward(
             vision.patches,
             vision.perm,
             vision.pos_hw,
-            vision.window_seg,
-            vision.full_seg,
+            vision.key_valid,
+            vision.full_gather,
+            vision.full_inverse,
             vision.reverse,
         )
         embeds = merge_vision_embeddings(

@@ -1,23 +1,26 @@
 """Qwen2.5-VL vision tower in JAX (window attention + 2x2 patch merger).
 
-TPU-native re-design of the capability provided to the reference by
+TPU-native re-design of the capability provided to the reference by HF's
 `Qwen2_5_VisionTransformerPretrainedModel` (N7 in SURVEY §2.2; consumed at
-timer1_trainer.py:244-251). Key differences from the torch implementation:
+timer1_trainer.py:244-251). Design:
 
-- All data-dependent indexing (window permutation, attention segmentation) is
-  precomputed on HOST from `grid_thw` metadata into static-shape index/segment
-  arrays (`VisionPrep`). On device everything is gathers + dense matmuls —
-  no dynamic shapes under jit.
-- The varlen cu_seqlens attention pattern becomes segment-id masking, the
-  static-shape TPU form (window segments for windowed blocks, per-frame-slice
-  segments for the designated full-attention blocks).
+- All data-dependent indexing is precomputed on HOST from `grid_thw` metadata
+  into static-shape index arrays (`VisionPrep`); the device sees only gathers
+  and dense matmuls — no dynamic shapes under jit.
+- The sequence is laid out in PADDED-WINDOW order: every attention window is
+  padded to the fixed `window_patches²·merge_unit` size, so window attention
+  is a free reshape to (n_windows, win_size, ...) batched SDPA with a
+  key-side validity mask — never an O(P²) dense mask.
+- The designated full-attention blocks attend within each (sample, t)-slice;
+  slices are contiguous runs of whole windows in this layout, gathered to
+  (n_slices, max_slice, ...) blocks and scattered back by a precomputed
+  inverse permutation. Slice blocks run under `lax.map` to bound the softmax
+  working set.
 - Layers are stacked and scanned (`lax.scan`) for O(1) compile time.
 
-Weights layout (converter-facing, transposed to (in, out)):
-  patch_embed/kernel                       (C*tp*ps*ps, hidden)
-  blocks/{norm1,norm2}/scale               (depth, hidden)
-  blocks/attn/{qkv_w (d,h,3h)… see code}
-  merger/ln_q/scale, merger/fc1, merger/fc2
+The dead (padding) slots flow through embeddings/MLP as garbage but are
+excluded as attention KEYS and dropped by the final original-order gather, so
+valid outputs are bit-identical to the unpadded computation (tested).
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.attention import mha_reference, segment_mask_bias
+from ...ops.attention import NEG_INF
 from .config import VisionConfig
 
 
@@ -36,124 +39,112 @@ from .config import VisionConfig
 class VisionPrep:
     """Host-precomputed static-shape plan for one batch of videos/images.
 
-    All arrays are in WINDOW ORDER (the permuted order in which blocks run).
-    `perm` maps window order → original patch row; `reverse` maps original
-    merge-unit order → window-unit order (for un-permuting the merger output).
+    Layout arrays are in PADDED-WINDOW order (the order blocks run in):
+    consecutive `win_patches` entries form one attention window; windows of a
+    (sample, t)-slice are consecutive.
     """
 
-    perm: np.ndarray  # (P_pad,) int32, gather indices into padded patch rows
-    pos_hw: np.ndarray  # (P_pad, 2) int32 rope h/w position ids
-    window_seg: np.ndarray  # (P_pad,) int32, -1 for padding
-    full_seg: np.ndarray  # (P_pad,) int32, -1 for padding
-    reverse: np.ndarray  # (U_pad,) int32 gather indices into window-unit rows
-    unit_valid: np.ndarray  # (U_pad,) bool, validity of output units
-    n_patches: int
-    n_units: int
+    perm: np.ndarray  # (P_pad,) gather index into the caller's patch rows
+    pos_hw: np.ndarray  # (P_pad, 2) rope h/w ids (0 at dead slots)
+    key_valid: np.ndarray  # (P_pad,) bool — real patch?
+    full_gather: np.ndarray  # (n_slices, max_slice) index into P_pad layout
+    full_inverse: np.ndarray  # (P_pad,) index into flattened (n_slices·max_slice)
+    reverse: np.ndarray  # (U_pad,) layout-unit index of each ORIGINAL unit
+    unit_valid: np.ndarray  # (U_pad,) bool
+    n_patches: int  # real patches
+    n_units: int  # real merge units
 
 
 def prepare_vision_inputs(
     grid_thw: list[tuple[int, int, int]],
     cfg: VisionConfig,
-    pad_patches_to: int | None = None,
+    pad_patches_to: int | None = None,  # pad the OUTPUT unit list (see below)
 ) -> VisionPrep:
-    """Compute the window permutation, rope position ids and attention
-    segments for a list of (t, h, w) patch grids.
+    """Build the padded-window layout + slice blocks for (t, h, w) patch grids.
 
-    Reproduces the semantics of HF's `rot_pos_emb` + `get_window_index`
-    (windows of `window_size` px ⇒ `window_patches` merge units per side,
-    ragged edge windows allowed) with everything expressed as permutations
-    and segment ids instead of cu_seqlens.
+    Window/full segmentation semantics match HF `get_window_index` +
+    per-t-slice cu_seqlens: ragged edge windows are padded (not merged), and
+    full attention never crosses (sample, t)-slice boundaries.
+
+    `pad_patches_to` pads the ORIGINAL-ORDER output units (U_pad =
+    pad_patches_to / merge_unit) so downstream token counts can be bucketed;
+    the internal layout is always padded to whole windows regardless.
     """
     m = cfg.spatial_merge_size
     unit = cfg.merge_unit
-    wm = cfg.window_patches  # window side in merge units
+    wm = cfg.window_patches
+    win_units = wm * wm
+    win_patches = win_units * unit
 
-    pos_list = []
-    unit_perm_list = []  # permutation at merge-unit granularity
-    window_seg_list = []
-    full_seg_list = []
+    layout_unit_src: list[np.ndarray] = []  # per-layout-unit: original unit idx or -1
+    slice_sizes: list[int] = []  # padded patches per (sample, t)-slice
+    pos_orig_list = []
     unit_base = 0
-    patch_base = 0
-    window_seg_id = 0
-    full_seg_id = 0
 
     for t, h, w in grid_thw:
         lh, lw = h // m, w // m
-        # --- rope position ids, in the model's native (pre-window) order:
-        # rows grouped by merge unit: (lh, lw, m, m) block layout
+        # rope ids in original patch order (merge-unit grouped, HF rot_pos_emb)
         hh = np.arange(h, dtype=np.int32).reshape(lh, m, 1, 1)
         hh = np.broadcast_to(hh, (lh, m, lw, m)).transpose(0, 2, 1, 3).reshape(-1)
         ww = np.arange(w, dtype=np.int32).reshape(1, 1, lw, m)
         ww = np.broadcast_to(ww, (lh, m, lw, m)).transpose(0, 2, 1, 3).reshape(-1)
-        pos = np.stack([hh, ww], axis=-1)  # (h*w, 2)
-        pos = np.tile(pos, (t, 1))  # (t*h*w, 2)
+        pos = np.stack([hh, ww], axis=-1)
+        pos_orig_list.append(np.tile(pos, (t, 1)))
 
-        # --- window permutation at merge-unit granularity
-        idx = np.arange(t * lh * lw, dtype=np.int32).reshape(t, lh, lw)
+        idx = np.arange(t * lh * lw, dtype=np.int64).reshape(t, lh, lw) + unit_base
         pad_h = (-lh) % wm
         pad_w = (-lw) % wm
         idxp = np.pad(idx, ((0, 0), (0, pad_h), (0, pad_w)), constant_values=-1)
         nwh, nww = (lh + pad_h) // wm, (lw + pad_w) // wm
-        idxp = idxp.reshape(t, nwh, wm, nww, wm).transpose(0, 1, 3, 2, 4)
-        idxp = idxp.reshape(t * nwh * nww, wm * wm)
-        seqlens = (idxp != -1).sum(axis=1)  # units per window
-        flat = idxp.reshape(-1)
-        unit_order = flat[flat != -1]  # (t*lh*lw,) unit indices in window order
-
-        # window segment ids per unit (skip empty windows to mirror
-        # torch.unique_consecutive on cu_window_seqlens)
-        seg_per_window = []
-        for s in seqlens:
-            if s > 0:
-                seg_per_window.append(np.full(s, window_seg_id, dtype=np.int32))
-                window_seg_id += 1
-        wseg_units = np.concatenate(seg_per_window) if seg_per_window else np.zeros(0, np.int32)
-
-        # full-attention segments: one per temporal slice (cu_seqlens =
-        # cumsum(repeat_interleave(h*w, t)) in HF) — evaluated in WINDOW order
-        full_seg_units_orig = np.repeat(
-            np.arange(t, dtype=np.int32) + full_seg_id, lh * lw
-        )  # (t*lh*lw,) in original unit order
-        fseg_units = full_seg_units_orig[unit_order]
-        full_seg_id += t
-
-        unit_perm_list.append(unit_order + unit_base)
-        # pos ids permuted into window order (expand unit order to patch rows)
-        patch_order = (unit_order[:, None] * unit + np.arange(unit, dtype=np.int32)[None, :]).reshape(-1)
-        pos_list.append(pos[patch_order])
-        window_seg_list.append(np.repeat(wseg_units, unit))
-        full_seg_list.append(np.repeat(fseg_units, unit))
+        idxp = idxp.reshape(t, nwh, wm, nww, wm).transpose(0, 1, 3, 2, 4).reshape(-1)
+        layout_unit_src.append(idxp)
+        slice_sizes.extend([nwh * nww * win_patches] * t)
         unit_base += t * lh * lw
-        patch_base += t * h * w
 
-    unit_order_all = np.concatenate(unit_perm_list)
-    n_units = unit_order_all.shape[0]
+    layout_units = np.concatenate(layout_unit_src)  # (-1 for dead units)
+    n_units = unit_base
     n_patches = n_units * unit
-    assert n_patches == patch_base
+    pos_orig = np.concatenate(pos_orig_list, axis=0)
 
-    perm = (unit_order_all[:, None] * unit + np.arange(unit, dtype=np.int32)[None, :]).reshape(-1)
-    pos_hw = np.concatenate(pos_list, axis=0)
-    window_seg = np.concatenate(window_seg_list)
-    full_seg = np.concatenate(full_seg_list)
-    reverse = np.argsort(unit_order_all).astype(np.int32)
+    P_pad = layout_units.shape[0] * unit
+    # patch-granularity gather into the caller's (n_patches-row) buffer
+    slot = np.arange(unit, dtype=np.int64)[None, :]
+    perm = np.where(
+        layout_units[:, None] >= 0, layout_units[:, None] * unit + slot, 0
+    ).reshape(-1)
+    key_valid = np.repeat(layout_units >= 0, unit)
+    pos_hw = np.where(key_valid[:, None], pos_orig[np.clip(perm, 0, max(n_patches - 1, 0))], 0)
 
-    p_pad = pad_patches_to or n_patches
-    assert p_pad % unit == 0 and p_pad >= n_patches
-    u_pad = p_pad // unit
-    if p_pad > n_patches:
-        fill = p_pad - n_patches
-        perm = np.concatenate([perm, np.full(fill, n_patches, np.int32)])  # safe: clipped gather
-        pos_hw = np.concatenate([pos_hw, np.zeros((fill, 2), np.int32)])
-        window_seg = np.concatenate([window_seg, np.full(fill, -1, np.int32)])
-        full_seg = np.concatenate([full_seg, np.full(fill, -1, np.int32)])
-        reverse = np.concatenate([reverse, np.full(u_pad - n_units, n_units, np.int32)])
+    # (sample, t)-slice blocks: contiguous runs of `slice_sizes` patches
+    max_slice = max(slice_sizes)
+    n_slices = len(slice_sizes)
+    full_gather = np.zeros((n_slices, max_slice), np.int64)
+    full_inverse = np.zeros((P_pad,), np.int64)
+    off = 0
+    for si, sz in enumerate(slice_sizes):
+        full_gather[si, :sz] = np.arange(off, off + sz)
+        full_gather[si, sz:] = off  # duplicate-pad; masked via key_valid gather
+        full_inverse[off : off + sz] = si * max_slice + np.arange(sz)
+        off += sz
+    assert off == P_pad
+
+    # original-order unit positions in the layout
+    layout_pos = np.zeros((n_units,), np.int64)
+    real = layout_units >= 0
+    layout_pos[layout_units[real]] = np.nonzero(real)[0]
+
+    u_pad = (pad_patches_to // unit) if pad_patches_to else n_units
+    assert u_pad >= n_units, (u_pad, n_units)
+    reverse = np.zeros((u_pad,), np.int64)
+    reverse[:n_units] = layout_pos
     unit_valid = np.arange(u_pad) < n_units
 
     return VisionPrep(
         perm=perm.astype(np.int32),
         pos_hw=pos_hw.astype(np.int32),
-        window_seg=window_seg.astype(np.int32),
-        full_seg=full_seg.astype(np.int32),
+        key_valid=key_valid,
+        full_gather=full_gather.astype(np.int32),
+        full_inverse=full_inverse.astype(np.int32),
         reverse=reverse.astype(np.int32),
         unit_valid=unit_valid,
         n_patches=n_patches,
@@ -171,6 +162,15 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _block_attention(q, k, v, key_bias, scale):
+    """Batched SDPA over (..., S, H, D) blocks with additive key bias
+    (..., 1, 1, S); fp32 softmax."""
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale + key_bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("...hqk,...khd->...qhd", probs.astype(v.dtype), v)
 
 
 def init_vision_params(cfg: VisionConfig, key, dtype=jnp.float32) -> dict:
@@ -216,23 +216,27 @@ def init_vision_params(cfg: VisionConfig, key, dtype=jnp.float32) -> dict:
 def vision_forward(
     params: dict,
     cfg: VisionConfig,
-    patches: jnp.ndarray,  # (P, patch_input_dim); P = padded patch count
+    patches: jnp.ndarray,  # (n_patches_buf, patch_input_dim)
     prep_perm: jnp.ndarray,
     prep_pos_hw: jnp.ndarray,
-    prep_window_seg: jnp.ndarray,
-    prep_full_seg: jnp.ndarray,
+    prep_key_valid: jnp.ndarray,
+    prep_full_gather: jnp.ndarray,
+    prep_full_inverse: jnp.ndarray,
     prep_reverse: jnp.ndarray,
 ) -> jnp.ndarray:
     """Run the vision tower; returns merged features (U_pad, out_hidden_size)
-    in ORIGINAL merge-unit order (window permutation undone)."""
+    in ORIGINAL merge-unit order."""
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
+    scale = hd**-0.5
+    win_patches = cfg.window_patches * cfg.window_patches * cfg.merge_unit
 
-    # window permutation (pad row index == P-1 is harmless: segment is -1)
     perm = jnp.clip(prep_perm, 0, patches.shape[0] - 1)
     x = jnp.take(patches, perm, axis=0)
+    P = x.shape[0]
+    n_win = P // win_patches
 
-    # patch embedding: conv3d with kernel==stride ≡ a single matmul (MXU)
+    # patch embedding: conv3d with kernel==stride ≡ one matmul (MXU)
     x = x.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
 
     # 2D rope over (h, w) grid ids: head_dim//4 freqs per axis
@@ -240,14 +244,39 @@ def vision_forward(
     inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, dim_quarter, dtype=jnp.float32) / dim_quarter))
     fh = prep_pos_hw[:, 0:1].astype(jnp.float32) * inv_freq[None, :]
     fw = prep_pos_hw[:, 1:2].astype(jnp.float32) * inv_freq[None, :]
-    rot = jnp.concatenate([fh, fw], axis=-1)  # (P, hd/2)
-    emb = jnp.concatenate([rot, rot], axis=-1)  # (P, hd)
-    cos = jnp.cos(emb)[:, None, :]  # (P, 1, hd) broadcast over heads
+    rot = jnp.concatenate([fh, fw], axis=-1)
+    emb = jnp.concatenate([rot, rot], axis=-1)
+    cos = jnp.cos(emb)[:, None, :]  # (P, 1, hd)
     sin = jnp.sin(emb)[:, None, :]
 
-    window_bias = segment_mask_bias(prep_window_seg, prep_window_seg)  # (1, P, P)
-    full_bias = segment_mask_bias(prep_full_seg, prep_full_seg)
+    key_bias_flat = jnp.where(prep_key_valid, 0.0, NEG_INF).astype(jnp.float32)
+    win_key_bias = key_bias_flat.reshape(n_win, 1, 1, win_patches)
+    n_slices, max_slice = prep_full_gather.shape
+    full_key_bias = jnp.take(key_bias_flat, prep_full_gather, axis=0).reshape(
+        n_slices, 1, 1, max_slice
+    )
     fullatt = jnp.zeros((cfg.depth,), jnp.bool_).at[jnp.array(cfg.fullatt_block_indexes)].set(True)
+
+    def attn_both(q, k, v, is_full):
+        """q/k/v: (P, nh, hd) in layout order → (P, nh, hd)."""
+
+        def window(_):
+            qw = q.reshape(n_win, win_patches, nh, hd)
+            kw = k.reshape(n_win, win_patches, nh, hd)
+            vw = v.reshape(n_win, win_patches, nh, hd)
+            return _block_attention(qw, kw, vw, win_key_bias, scale).reshape(P, nh, hd)
+
+        def full(_):
+            qf = jnp.take(q, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
+            kf = jnp.take(k, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
+            vf = jnp.take(v, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
+            out = jax.lax.map(
+                lambda args: _block_attention(args[0], args[1], args[2], args[3], scale),
+                (qf, kf, vf, full_key_bias),
+            )
+            return jnp.take(out.reshape(-1, nh, hd), prep_full_inverse, axis=0)
+
+        return jax.lax.cond(is_full, full, window, None)
 
     blocks = params["blocks"]
 
@@ -256,13 +285,11 @@ def vision_forward(
         h = _rms_norm(x, lp["norm1"]["scale"], eps)
         qkv = h @ lp["attn"]["qkv_w"] + lp["attn"]["qkv_b"]
         q, k, v = jnp.split(qkv.reshape(-1, 3, nh, hd).swapaxes(0, 1), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]  # (P, nh, hd)
-        # rope in fp32 (HF applies rope in float32 then casts back)
+        q, k, v = q[0], k[0], v[0]
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos + _rotate_half(qf) * sin).astype(x.dtype)
         k = (kf * cos + _rotate_half(kf) * sin).astype(x.dtype)
-        bias = jnp.where(is_full, full_bias, window_bias)
-        attn = mha_reference(q[None], k[None], v[None], bias=bias[None])[0]
+        attn = attn_both(q, k, v, is_full)
         attn = attn.reshape(-1, nh * hd) @ lp["attn"]["proj_w"] + lp["attn"]["proj_b"]
         x = x + attn
         h = _rms_norm(x, lp["norm2"]["scale"], eps)
@@ -273,13 +300,12 @@ def vision_forward(
 
     x, _ = jax.lax.scan(layer, x, (blocks, fullatt))
 
-    # merger: RMSNorm → group 2x2 units → MLP (GELU exact)
-    m = params["merger"]
-    h = _rms_norm(x, m["ln_q"]["scale"], eps).reshape(-1, cfg.hidden_size * cfg.merge_unit)
-    h = h @ m["fc1"]["kernel"] + m["fc1"]["bias"]
+    # merger: RMSNorm → group 2x2 units → MLP (GELU exact), in layout order
+    mparams = params["merger"]
+    h = _rms_norm(x, mparams["ln_q"]["scale"], eps).reshape(-1, cfg.hidden_size * cfg.merge_unit)
+    h = h @ mparams["fc1"]["kernel"] + mparams["fc1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
-    h = h @ m["fc2"]["kernel"] + m["fc2"]["bias"]
+    h = h @ mparams["fc2"]["kernel"] + mparams["fc2"]["bias"]
 
-    # undo window permutation (pad index == U is clipped; unit_valid masks it)
-    rev = jnp.clip(prep_reverse, 0, h.shape[0] - 1)
-    return jnp.take(h, rev, axis=0)
+    # gather the real units back into original order
+    return jnp.take(h, prep_reverse, axis=0)

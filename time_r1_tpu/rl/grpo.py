@@ -71,7 +71,7 @@ def _hidden_states(params, cfg: Qwen25VLConfig, batch: GRPOBatch) -> jnp.ndarray
         v = batch.vision
         feats = vision_forward(
             params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
-            v.window_seg, v.full_seg, v.reverse,
+            v.key_valid, v.full_gather, v.full_inverse, v.reverse,
         )
         embeds = merge_vision_embeddings(
             embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id)

@@ -77,16 +77,7 @@ def build_grpo_batch(
         n = patches.shape[0] * G
         pad_patches = ((_bucket(n, 256) + unit - 1) // unit) * unit
         prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)
-        pp = np.zeros((pad_patches, patches.shape[1]), np.float32)
-        pp[:n] = np.tile(patches, (G, 1))
-        vis = VisionInputs(
-            patches=jnp.asarray(pp, dtype),
-            perm=jnp.asarray(prep.perm),
-            pos_hw=jnp.asarray(prep.pos_hw),
-            window_seg=jnp.asarray(prep.window_seg),
-            full_seg=jnp.asarray(prep.full_seg),
-            reverse=jnp.asarray(prep.reverse),
-        )
+        vis = VisionInputs.build(prep, jnp.asarray(np.tile(patches, (G, 1)), dtype))
 
     return GRPOBatch(
         input_ids=jnp.asarray(ids),

@@ -193,16 +193,7 @@ class Engine:
             pad_patches = _bucket(patches.shape[0], 256)
             pad_patches = ((pad_patches + unit - 1) // unit) * unit
             prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
-            pp = np.zeros((pad_patches, patches.shape[1]), np.float32)
-            pp[: patches.shape[0]] = patches
-            vis = VisionInputs(
-                patches=jnp.asarray(pp, self.dtype),
-                perm=jnp.asarray(prep.perm),
-                pos_hw=jnp.asarray(prep.pos_hw),
-                window_seg=jnp.asarray(prep.window_seg),
-                full_seg=jnp.asarray(prep.full_seg),
-                reverse=jnp.asarray(prep.reverse),
-            )
+            vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
 
         video_grid_thw = np.array(grids, np.int64) if grids else None
         pos_ids, _ = get_rope_index(
