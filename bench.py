@@ -1,7 +1,7 @@
 """Headline benchmark: GRPO-rollout decode throughput on one TPU chip.
 
 Shape mirrors the reference's hot loop #1 (timer1_trainer.py:568-573): G=8
-grouped rollouts from a ~1k-token video prompt (≈896 video tokens + text,
+grouped rollouts from a ~1.7k-token video prompt (1568 video tokens + text,
 the recipes' 3584·28² pixel budget), Qwen2.5-VL-3B architecture, bf16.
 
 The reference publishes no throughput numbers (BASELINE.md) — `vs_baseline`
@@ -21,29 +21,33 @@ A100_VLLM_3B_DECODE_TOKS_PER_S = 700.0
 
 BATCH = 8  # G in the GRPO recipes
 PROMPT_TEXT_TOKENS = 128
-VIDEO_GRID = (8, 28, 28)  # 6272 patches → 1568 video tokens ≈ 3584·28²/4 budget /4
+VIDEO_GRID = (8, 28, 28)  # 6272 patches → 1568 video tokens (3584·28² budget)
 DECODE_STEPS = 128
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from time_r1_tpu.models.qwen25vl import (
         KVCache,
         Qwen25VLConfig,
-        Qwen25VLConfig as _C,
         VisionInputs,
         forward,
         get_rope_index,
         init_params,
         prepare_vision_inputs,
     )
-    from time_r1_tpu.sampler import SamplingParams
-    from time_r1_tpu.sampler.engine import prefill_and_decode
+    from time_r1_tpu.sampler.engine import sample_tokens
+    from time_r1_tpu.sampler.params import SamplingParams
 
     cfg = Qwen25VLConfig.qwen25vl_3b()
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    # throughput is weight-value-independent on TPU; zeros-init skips ~2 min
+    # of on-device RNG for 3B params
+    shapes = jax.eval_shape(lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     t, h, w = VIDEO_GRID
     n_patches = t * h * w
@@ -69,65 +73,70 @@ def main():
         second_per_grid_ts=[1.0] * BATCH,
         attention_mask=mask[:, :S],
     )
-    start_pos = pos_ids.max(axis=(0, 2)) + 1
+    start_pos = jnp.asarray(pos_ids.max(axis=(0, 2)) + 1)
 
     prep = prepare_vision_inputs([VIDEO_GRID] * BATCH, cfg.vision)
     patches = rng.normal(size=(n_patches * BATCH, cfg.vision.patch_input_dim)).astype(np.float32)
     vis = VisionInputs.build(prep, jnp.asarray(patches, jnp.bfloat16))
 
-    sp = SamplingParams(
-        temperature=1.0,
-        max_new_tokens=DECODE_STEPS,
-        stop_token_ids=(999_999,),  # unreachable: force full-length decode
-        num_return_sequences=1,
-    )
+    sp = SamplingParams(temperature=1.0, max_new_tokens=DECODE_STEPS)
+    maskj = jnp.asarray(mask)
 
-    args = (
-        params,
-        cfg,
-        jnp.asarray(ids),
-        jnp.asarray(pos_ids),
-        jnp.asarray(mask),
-        vis,
-        jnp.asarray(start_pos),
-        S,
-        sp,
-        jax.random.PRNGKey(0),
-    )
+    @jax.jit
+    def prefill(params, ids, pos_ids, vis):
+        cache = KVCache.zeros(cfg.text, BATCH, max_len, dtype=jnp.bfloat16)
+        logits, cache = forward(
+            params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache
+        )
+        first = sample_tokens(logits[:, -1], jax.random.PRNGKey(1), sp)
+        return cache, first
 
-    # warmup (compile)
-    tokens = prefill_and_decode(*args)
-    jax.block_until_ready(tokens)
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def decode(params, cache, last, steps: int):
+        def body(i, carry):
+            cache, last, rng = carry
+            pos = start_pos + cache.length - S
+            pos3 = jnp.broadcast_to(pos[None, :, None], (3, BATCH, 1))
+            logits, cache = forward(
+                params, cfg, last[:, None], pos3, attention_mask=maskj, cache=cache
+            )
+            rng, sub = jax.random.split(rng)
+            nxt = sample_tokens(logits[:, -1], sub, sp)
+            return cache, nxt, rng
 
+        cache, last, _ = jax.lax.fori_loop(0, steps, body, (cache, last, jax.random.PRNGKey(2)))
+        return cache, last
+
+    # compile + warmup
+    cache, first = prefill(params, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    jax.block_until_ready(cache.k)
     t0 = time.perf_counter()
-    tokens = prefill_and_decode(*args)
-    jax.block_until_ready(tokens)
-    total = time.perf_counter() - t0
-
-    # isolate prefill cost to report decode-only throughput
-    sp1 = SamplingParams(
-        temperature=1.0, max_new_tokens=1, stop_token_ids=(999_999,), num_return_sequences=1
-    )
-    args1 = args[:8] + (sp1, jax.random.PRNGKey(0))
-    tk = prefill_and_decode(*args1)
-    jax.block_until_ready(tk)
-    t0 = time.perf_counter()
-    tk = prefill_and_decode(*args1)
-    jax.block_until_ready(tk)
+    cache2, _ = prefill(params, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    jax.block_until_ready(cache2.k)
     prefill_time = time.perf_counter() - t0
 
-    decode_time = max(total - prefill_time, 1e-6)
-    toks_per_s = BATCH * (DECODE_STEPS - 1) / decode_time
+    c3, l3 = decode(params, cache, first, DECODE_STEPS)  # warmup/compile (same static steps!)
+    jax.block_until_ready(l3)
+    t0 = time.perf_counter()
+    c4, l4 = decode(params, cache, first, DECODE_STEPS)
+    jax.block_until_ready(l4)
+    decode_time = time.perf_counter() - t0
+
+    toks_per_s = BATCH * DECODE_STEPS / decode_time
+    result = {
+        "metric": "grpo_rollout_decode_throughput_3b_bs8",
+        "value": round(toks_per_s, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(toks_per_s / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
+    }
+    import sys
+
     print(
-        json.dumps(
-            {
-                "metric": "grpo_rollout_decode_throughput_3b_bs8",
-                "value": round(toks_per_s, 1),
-                "unit": "tokens/s/chip",
-                "vs_baseline": round(toks_per_s / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
-            }
-        )
+        f"[bench] prefill({BATCH}x{S} tokens incl. {n_vis} video) = {prefill_time*1e3:.0f} ms; "
+        f"decode {DECODE_STEPS} steps = {decode_time*1e3:.0f} ms",
+        file=sys.stderr,
     )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -213,9 +213,17 @@ def decoder_forward(
 
 
 def lm_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Project final hidden states to vocab logits (fp32)."""
+    """Project final hidden states to vocab logits (fp32).
+
+    Tied embeddings contract directly against the (V, hidden) table — no
+    622MB transpose materialized per decode step."""
     if cfg.tie_word_embeddings:
-        w = params["embed_tokens"]["embedding"].T
-    else:
-        w = params["lm_head"]["kernel"]
-    return jnp.einsum("bsh,hv->bsv", hidden, w, preferred_element_type=jnp.float32)
+        return jnp.einsum(
+            "bsh,vh->bsv",
+            hidden,
+            params["embed_tokens"]["embedding"],
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(
+        "bsh,hv->bsv", hidden, params["lm_head"]["kernel"], preferred_element_type=jnp.float32
+    )
