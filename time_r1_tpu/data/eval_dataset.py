@@ -1,0 +1,195 @@
+"""Eval datasets: annotation rows → tokenized engine Requests (C11 parity).
+
+Mirrors src/vllm_inference/data/__init__.py's dataset classes:
+- TG and MCQ variants with the r1 / default / nothink prompt selection matrix
+  (build_dataloader :609-680);
+- contiguous index sharding (curr_idx/total_idx) and resume-by-qid filtering;
+- message shape: explicit system turn + user turn [video, text];
+- nothink appends "<think>\\n</think>\\n" AFTER the generation prompt;
+- prepared-video cache (./video_cache/{name}_test_{tokens}/{video_id}.npz)
+  and an in-process LRU video cache;
+- video decode through the native pipeline (video/), budgeted by
+  total_pixels/min_pixels exactly like process_vision_info_v3.
+
+Output item: {"request": sampler.Request, "qid", "duration", and
+"timestamps" (tg) or "answer"+"options" (mcq), "video_path"}.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..models.processor import Qwen25VLProcessor
+from ..sampler.engine import Request
+from ..video.pipeline import fetch_video
+from .loaders import load_datasets, split_data
+from .prompts import ANSWER_PROMPT, DEFAULT_MCQ_PROMPT, DEFAULT_SYS_PROMPT, DEFAULT_TG_PROMPT
+
+
+class VideoCache:
+    """In-process LRU replacement for LimitedSizeSharedDict (single-process
+    pipeline; the multi-worker Manager dict is unnecessary here)."""
+
+    def __init__(self, max_size: int = 8):
+        self.max_size = max_size
+        self._d: OrderedDict = OrderedDict()
+
+    def get(self, key):
+        return self._d.get(key)
+
+    def put(self, key, value):
+        if self.max_size <= 0 or key in self._d:
+            return
+        if len(self._d) >= self.max_size:
+            self._d.popitem(last=False)
+        self._d[key] = value
+
+
+class EvalDataset:
+    """Iterable over eval items producing ready-to-run engine Requests."""
+
+    def __init__(
+        self,
+        processor: Qwen25VLProcessor,
+        datatype: str,  # "tg" | "mcq"
+        dataset_names: Sequence[str],
+        split: str = "test",
+        curr_idx: int = 0,
+        total_idx: int = 1,
+        already_finished: Optional[set] = None,
+        sys_prompt: str = DEFAULT_SYS_PROMPT,
+        prompt: Optional[str] = None,
+        min_pixels: int = 16 * 28 * 28,
+        total_pixels: int = 3584 * 28 * 28,
+        use_r1_thinking_prompt: bool = False,
+        prompt_type: str = "r1",
+        use_nothink: bool = False,
+        use_prepared_video: bool = False,
+        use_answer_prompt: bool = False,  # HF-style MCQ assistant-prefix path
+        cache_size: int = 0,
+        video_cache_root: str = "./video_cache",
+    ):
+        assert datatype in ("tg", "mcq")
+        self.processor = processor
+        self.datatype = datatype
+        self.sys_prompt = sys_prompt
+        self.min_pixels = min_pixels
+        self.total_pixels = total_pixels
+        self.use_nothink = use_nothink
+        self.use_answer_prompt = use_answer_prompt
+        self.answer_prompt = ANSWER_PROMPT
+
+        default = DEFAULT_TG_PROMPT if datatype == "tg" else DEFAULT_MCQ_PROMPT
+        if prompt is None:
+            self.prompt = default[prompt_type] if use_r1_thinking_prompt else default["default"]
+        else:
+            self.prompt = prompt
+
+        data = load_datasets(list(dataset_names), split=split)
+        data = split_data(data, curr_idx, total_idx)
+        finished = already_finished or set()
+        self.data = [itm for itm in data if itm["qid"] not in finished]
+
+        self.prepared_video_dirs = []
+        if use_prepared_video:
+            for name in dataset_names:
+                self.prepared_video_dirs.append(
+                    os.path.join(video_cache_root, f"{name}_test_{total_pixels // 28 // 28}")
+                )
+        self.cache = VideoCache(cache_size)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    # ------------------------------------------------------------------
+    def _video_ele(self, itm: dict) -> dict:
+        ele = {"video": itm["video"], "min_pixels": self.min_pixels, "total_pixels": self.total_pixels}
+        if itm.get("video_start") is not None:
+            ele["video_start"] = itm["video_start"]
+        if itm.get("video_end") is not None:
+            ele["video_end"] = itm["video_end"]
+        return ele
+
+    def _load_video(self, itm: dict):
+        ele = self._video_ele(itm)
+        key = repr(sorted(ele.items()))
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        for vdir in self.prepared_video_dirs:
+            vid = itm["video"].split("/")[-1].split(".")[0]
+            path = os.path.join(vdir, vid + ".npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                out = (z["video"].astype(np.float32), float(z["fps"]))
+                self.cache.put(key, out)
+                return out
+        out = fetch_video(ele)
+        self.cache.put(key, out)
+        return out
+
+    def _user_text(self, itm: dict) -> str:
+        if self.datatype == "tg":
+            return self.prompt.format(itm["sentence"])
+        letters = [chr(ord("A") + i) for i in range(len(itm["options"]))]
+        options = "\n".join(f"({l}) {o}" for l, o in zip(letters, itm["options"]))
+        return self.prompt.format(itm["question"], options)
+
+    def build_item(self, itm: dict) -> dict:
+        frames, sample_fps = self._load_video(itm)
+        messages = [
+            {"role": "system", "content": [{"type": "text", "text": self.sys_prompt}]},
+            {
+                "role": "user",
+                "content": [
+                    {"type": "video", "video": itm["video"]},
+                    {"type": "text", "text": self._user_text(itm)},
+                ],
+            },
+        ]
+        if self.use_answer_prompt and self.datatype == "mcq":
+            # assistant-prefix trick: render WITHOUT generation prompt, strip
+            # the trailing <|im_end|> (data/__init__.py:354-371)
+            messages.append(
+                {"role": "assistant", "content": [{"type": "text", "text": self.answer_prompt}]}
+            )
+            text = self.processor.apply_chat_template(messages, add_generation_prompt=False)
+            text = "<|im_end|>".join(text.split("<|im_end|>")[:-1])
+        else:
+            text = self.processor.apply_chat_template(messages, add_generation_prompt=True)
+            if self.use_nothink:
+                text = text + "<think>\n</think>\n"
+
+        proc = self.processor(text=[text], videos=[frames], fps=[sample_fps])
+        ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
+        req = Request(
+            input_ids=ids,
+            patches=proc.pixel_values_videos,
+            grid_thw=tuple(int(x) for x in proc.video_grid_thw[0]),
+            second_per_grid_t=proc.second_per_grid_ts[0],
+        )
+        out = {"request": req, "qid": itm["qid"], "duration": itm.get("duration"), "video_path": itm["video"]}
+        if self.datatype == "tg":
+            out["timestamps"] = list(itm["timestamp"])
+        else:
+            out["answer"] = itm["answer"]
+            out["options"] = [chr(ord("A") + i) for i in range(len(itm["options"]))]
+        return out
+
+    def __iter__(self) -> Iterator[dict]:
+        for itm in self.data:
+            yield self.build_item(itm)
+
+    def iter_batches(self, batch_size: int) -> Iterator[List[dict]]:
+        batch: List[dict] = []
+        for item in self:
+            batch.append(item)
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
