@@ -1,0 +1,153 @@
+"""System test: the full eval pipeline on a REAL video with the tiny model —
+EvalDataset (decode+resize+patchify+template) → evaluate CLI main() → sharded
+jsonl with resume → eval_all scoring. Mirrors SURVEY §3.3's call stack."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from test_model_parity import CFG
+from tiny_tokenizer import TinyTokenizer
+
+VIDEO = "/root/reference/assets/OHOFG.mp4"
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import jax
+
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.sampler import Engine
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    engine = Engine(params, CFG, dtype=jnp.float32)
+    processor = Qwen25VLProcessor(TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id)
+    return engine, processor
+
+
+@pytest.fixture()
+def annotations(tmp_path):
+    ann = [
+        {
+            "video": VIDEO,
+            "duration": 35.04,
+            "timestamp": [1.0, 7.5],
+            "sentence": "person sitting down in a chair",
+            "qid": "tvg_0",
+            "video_start": 0.0,
+            "video_end": 3.0,
+            "pred": None,
+        },
+        {
+            "video": VIDEO,
+            "duration": 35.04,
+            "timestamp": [10.0, 12.0],
+            "sentence": "person stands up",
+            "qid": "tvg_1",
+            "video_start": 4.0,
+            "video_end": 7.0,
+            "pred": None,
+        },
+    ]
+    path = tmp_path / "ann.json"
+    path.write_text(json.dumps(ann))
+    return str(path)
+
+
+def test_eval_dataset_builds_requests(tiny_setup, annotations):
+    from time_r1_tpu.data import EvalDataset
+
+    _, processor = tiny_setup
+    ds = EvalDataset(
+        processor,
+        datatype="tg",
+        dataset_names=["tvgbench_filter"],
+        split=annotations,
+        min_pixels=4 * 28 * 28,
+        total_pixels=8 * 28 * 28,
+        use_r1_thinking_prompt=True,
+    )
+    items = list(ds)
+    assert len(items) == 2
+    req = items[0]["request"]
+    n_video_tokens = sum(1 for t in req.input_ids if t == CFG.video_token_id)
+    t, h, w = req.grid_thw
+    assert n_video_tokens == t * h * w // 4
+    assert req.patches.shape == (t * h * w, CFG.vision.patch_input_dim)
+    assert items[0]["timestamps"] == [1.0, 7.5]
+
+
+def test_evaluate_cli_end_to_end_with_resume(tiny_setup, annotations, tmp_path, monkeypatch):
+    from time_r1_tpu.cli import evaluate as evaluate_cli
+    from time_r1_tpu.cli.eval_all import score_dir
+
+    engine, processor = tiny_setup
+    out_dir = str(tmp_path / "eval_out")
+    argv = [
+        "--model_base", "unused",
+        "--datasets", "tvgbench_filter",
+        "--split", annotations,
+        "--output_dir", out_dir,
+        "--use_r1_thinking_prompt",
+        "--max_new_tokens", "6",
+        "--total_pixels", str(8 * 28 * 28),
+        "--min_pixels", str(4 * 28 * 28),
+    ]
+    args = evaluate_cli.get_args(argv)
+    assert args.datatype == "tg"
+    out_file = evaluate_cli.main(args, engine=engine, processor=processor)
+
+    recs = [json.loads(l) for l in open(out_file)]
+    assert {r["qid"] for r in recs} == {"tvg_0", "tvg_1"}
+    for r in recs:
+        assert "output_text" in r and isinstance(r["pred"], list)
+
+    # resume: running again must not duplicate rows
+    evaluate_cli.main(args, engine=engine, processor=processor)
+    recs2 = [json.loads(l) for l in open(out_file)]
+    assert len(recs2) == 2
+
+    # scoring via eval_all (tvgbench-style TG scoring)
+    scores = score_dir(out_dir, "tvgbench")
+    assert set(scores.keys()) == {"mIoU", 0.3, 0.5, 0.7, "avg"}
+
+
+def test_calc_difficulty_merge_flow(tiny_setup, annotations, tmp_path):
+    """SF-loop steps 3-5: self-eval jsonl → difficulty merge → filter."""
+    from time_r1_tpu.cli import evaluate as evaluate_cli
+    from time_r1_tpu.cli.calc_difficulty import merge
+    from time_r1_tpu.utils.curriculum import filter_and_sample
+
+    engine, processor = tiny_setup
+    out_dir = str(tmp_path / "filtering_epoch0")
+    args = evaluate_cli.get_args(
+        [
+            "--model_base", "unused",
+            "--datasets", "tvgbench_filter",
+            "--split", annotations,
+            "--output_dir", out_dir,
+            "--use_r1_thinking_prompt",
+            "--max_new_tokens", "6",
+            "--total_pixels", str(8 * 28 * 28),
+            "--min_pixels", str(4 * 28 * 28),
+        ]
+    )
+    evaluate_cli.main(args, engine=engine, processor=processor)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        merged = merge(input_dir="filtering_epoch0", split=annotations, output_dir="out")
+    finally:
+        os.chdir(cwd)
+    data = json.load(open(os.path.join(tmp_path, merged)))
+    assert len(data) == 2
+    assert all("difficulty" in d for d in data)
+    # curriculum filter consumes the merged file's difficulty fields
+    sampled = filter_and_sample(data, "0070_all", k=10)
+    assert isinstance(sampled, list)

@@ -1,0 +1,152 @@
+"""Sharded, resumable batch eval entry (C15 parity: reference evaluate.py).
+
+Flag names match the reference CLI; `--datatype` is auto-set from the dataset
+names exactly like evaluate.py:307-319. Writes per-line-flushed jsonl shards
+`{datatype}_{curr}_{total}.jsonl` with resume-by-qid, plus a timing summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from ..data.eval_dataset import EvalDataset
+from ..models.processor import Qwen25VLProcessor
+from ..models.qwen25vl.convert import load_checkpoint
+from ..sampler.engine import Engine
+from ..sampler.text_engine import TextEngine
+from ..utils.parsing import extract_answer
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Sharded batch eval (TPU)")
+    p.add_argument("--datatype", default="tg", choices=["tg", "mcq"])
+    p.add_argument("--model_base", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--output_dir", type=str, default="checkpoints")
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--curr_idx", type=int, default=0)
+    p.add_argument("--total_idx", type=int, default=1)
+    p.add_argument("--total_pixels", type=int, default=3584 * 28 * 28)
+    p.add_argument("--min_pixels", type=int, default=16 * 28 * 28)
+    p.add_argument(
+        "--datasets",
+        nargs="+",
+        type=str,
+        required=True,
+        choices=[
+            "charades",
+            "activitynet",
+            "videomme",
+            "mvbench",
+            "tvgbench_filter",
+            "tvgbench",
+            "egoschema",
+            "tempcompass",
+        ],
+    )
+    p.add_argument("--use_r1_thinking_prompt", action="store_true")
+    p.add_argument("--use_vllm_inference", action="store_true", help="accepted for recipe parity")
+    p.add_argument("--prompt_type", type=str, default="r1")
+    p.add_argument("--use_nothink", action="store_true")
+    p.add_argument("--use_prepared_video", action="store_true")
+    args = p.parse_args(argv)
+
+    if any(d in args.datasets for d in ("mvbench", "videomme", "tempcompass", "egoschema")):
+        args.datatype = "mcq"
+    elif any(
+        d in args.datasets for d in ("tvgbench", "tvgbench_filter", "charades", "activitynet")
+    ):
+        args.datatype = "tg"
+    else:
+        raise ValueError("Unsupported dataset type.")
+    return args
+
+
+def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
+    os.makedirs(args.output_dir, exist_ok=True)
+    output_file = os.path.join(
+        args.output_dir, f"{args.datatype}_{args.curr_idx}_{args.total_idx}.jsonl"
+    )
+
+    already_finished = set()
+    try:
+        with open(output_file) as g:
+            for line in g:
+                already_finished.add(json.loads(line)["qid"])
+    except Exception:
+        pass
+
+    if engine is None:
+        params, cfg = load_checkpoint(args.model_base)
+        engine = Engine(params, cfg)
+        processor = Qwen25VLProcessor.from_pretrained(args.model_base)
+    text_engine = TextEngine(engine, processor)
+
+    dataset = EvalDataset(
+        processor,
+        datatype=args.datatype,
+        dataset_names=args.datasets,
+        split=args.split,
+        curr_idx=args.curr_idx,
+        total_idx=args.total_idx,
+        already_finished=already_finished,
+        min_pixels=args.min_pixels,
+        total_pixels=args.total_pixels,
+        use_r1_thinking_prompt=args.use_r1_thinking_prompt,
+        prompt_type=args.prompt_type,
+        use_nothink=args.use_nothink,
+        use_prepared_video=args.use_prepared_video,
+    )
+
+    t0 = time.perf_counter()
+    f = open(output_file, "a+")
+    answer_prompt = None
+    if args.datatype == "mcq" and args.split != "train":
+        from ..data.prompts import ANSWER_PROMPT
+
+        answer_prompt = ANSWER_PROMPT
+
+    n_done = 0
+    for batch in dataset.iter_batches(args.batch_size):
+        outputs = text_engine.generate(
+            [b["request"] for b in batch],
+            max_new_tokens=args.max_new_tokens,
+            answer_prompt=answer_prompt,
+        )
+        for b, text in zip(batch, outputs):
+            if args.datatype == "tg":
+                rec = {
+                    "qid": b["qid"],
+                    "pred": extract_answer(text, "tg"),
+                    "target": list(b["timestamps"]),
+                    "duration": b.get("duration"),
+                    "output_text": text,
+                }
+            else:
+                rec = {
+                    "qid": b["qid"],
+                    "pred": None,
+                    "target": b["answer"],
+                    "duration": b.get("duration"),
+                    "output_text": text,
+                }
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            n_done += 1
+    f.close()
+
+    total = time.perf_counter() - t0
+    print(f"\n--- Timing Summary ---\nTotal program execution time: {total:.2f} seconds")
+    with open(os.path.join(args.output_dir, "timing_summary_vllm.txt"), "w") as tf:
+        tf.write("\n--- Timing Summary ---\n")
+        tf.write(f"Total program execution time: {total:.2f} seconds\n")
+        tf.write(f"Items evaluated: {n_done}\n")
+    return output_file
+
+
+if __name__ == "__main__":
+    main(get_args())

@@ -1,0 +1,175 @@
+"""GRPO post-training entry (C6 parity: reference main.py).
+
+Flag names follow the reference recipes (scripts/posttrain/train_rl.sh) so
+they can be ported by changing only the launcher. The TimeRFT dataset loader
+(load_json_dataset_tg, main.py:431-494) and the resume max_steps arithmetic
+(main.py:589-618) are reproduced here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import random
+
+import numpy as np
+
+from ..models.processor import Qwen25VLProcessor
+from ..models.qwen25vl.convert import load_checkpoint
+from ..rl.trainer import GRPOTrainer, TrainConfig
+from ..utils.rewards import METRIC_FUNCS_REGISTRY, REWARD_FUNCS_REGISTRY
+from ..video.pipeline import video_loader
+
+
+def set_global_seed(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def load_json_dataset_tg(train_data_path: str, is_curriculum_learning: bool = False):
+    """main.py:431-494: lowercase+strip sentences, drop missing videos,
+    shuffle unless curriculum ordering is requested."""
+    with open(train_data_path, "r", encoding="utf-8") as f:
+        data = json.load(f)
+    examples = []
+    for item in data:
+        sentence = item.get("sentence", "").strip().lower()
+        if sentence.endswith("."):
+            sentence = sentence[:-1]
+        if not os.path.isfile(item.get("video", "")):
+            continue
+        examples.append(
+            {
+                "task_type": "tg",
+                "problem": sentence,
+                "choices": "",
+                "solution": (float(item["timestamp"][0]), float(item["timestamp"][1])),
+                "video_path": item["video"],
+                "durations": item.get("duration"),
+                "video_start": item.get("video_start"),
+                "video_end": item.get("video_end"),
+                "preprocessed_path": "",
+            }
+        )
+    if not examples:
+        return None
+    if not is_curriculum_learning:
+        random.shuffle(examples)
+    return examples
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="TimeRFT GRPO post-training (TPU)")
+    p.add_argument("--model_name_or_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--train_data_path", type=str, required=True)
+    p.add_argument("--reward_funcs", nargs="+", default=["iou", "format"])
+    p.add_argument("--max_pixels", type=int, default=12845056)
+    p.add_argument("--min_pixels", type=int, default=3136)
+    p.add_argument("--max_prompt_length", type=int, default=8192)
+    p.add_argument("--max_completion_length", type=int, default=200)
+    p.add_argument("--num_generations", type=int, default=8)
+    p.add_argument("--per_device_train_batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=2)
+    p.add_argument("--learning_rate", type=float, default=1e-6)
+    p.add_argument("--beta", type=float, default=0.04)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--num_train_epochs", type=float, default=5)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=50)
+    p.add_argument("--save_strategy", type=str, default="steps", choices=["steps", "epoch"])
+    p.add_argument("--save_only_model", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument("--fix_vit", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument("--slide_window", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--max_window_layers", type=int, default=2)
+    p.add_argument("--sliding_window_length", type=int, default=4096)
+    p.add_argument("--prompt_type", type=str, default="v1")
+    p.add_argument("--use_grpo", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--is_curriculum_learning", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--is_early_stopping", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--data_seed", type=int, default=42)
+    p.add_argument("--run_name", type=str, default="run")
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--logging_dir", type=str, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--gradient_checkpointing", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument("--attn_implementation", type=str, default="flash")
+    p.add_argument("--dataset_name", type=str, default="xxx")
+    p.add_argument("--video_folder", type=str, default="xxx")
+    p.add_argument("--deepspeed", type=str, default=None, help="accepted for recipe parity; sharding is GSPMD")
+    return p.parse_args(argv)
+
+
+def main(args, trainer: GRPOTrainer = None):
+    set_global_seed(42)
+    dataset = load_json_dataset_tg(args.train_data_path, args.is_curriculum_learning)
+
+    if trainer is None:
+        import jax.numpy as jnp
+
+        params, cfg = load_checkpoint(args.model_name_or_path)
+        if args.slide_window:
+            cfg = cfg.with_sliding_window(True, args.sliding_window_length, args.max_window_layers)
+        processor = Qwen25VLProcessor.from_pretrained(args.model_name_or_path)
+        ref_params = None
+        if args.beta != 0.0:
+            ref_params, _ = load_checkpoint(args.model_name_or_path)
+        config = TrainConfig(
+            output_dir=args.output_dir,
+            learning_rate=args.learning_rate,
+            num_train_epochs=args.num_train_epochs,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
+            max_prompt_length=args.max_prompt_length,
+            max_completion_length=args.max_completion_length,
+            num_generations=args.num_generations,
+            temperature=args.temperature,
+            beta=args.beta,
+            use_grpo=args.use_grpo,
+            fix_vit=args.fix_vit,
+            prompt_type=args.prompt_type,
+            logging_steps=args.logging_steps,
+            save_steps=args.save_steps,
+            save_strategy=args.save_strategy,
+            save_only_model=args.save_only_model,
+            seed=args.data_seed,
+            is_early_stopping=args.is_early_stopping,
+            resume_from_checkpoint=args.resume_from_checkpoint,
+        )
+        trainer = GRPOTrainer(
+            params,
+            cfg,
+            processor,
+            reward_funcs=[REWARD_FUNCS_REGISTRY[f] for f in args.reward_funcs],
+            metric_funcs=list(METRIC_FUNCS_REGISTRY.values()),
+            config=config,
+            video_loader=video_loader,
+            ref_params=ref_params,
+        )
+
+    # resume: recompute the max-steps target from trainer_state.json
+    # (main.py:589-618 continuation semantics for the SF loop)
+    if args.resume_from_checkpoint:
+        state_path = os.path.join(args.resume_from_checkpoint, "trainer_state.json")
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                resumed_global_step = json.load(f).get("global_step", 0)
+            trainer.global_step = resumed_global_step
+            from ..utils.checkpoint import load_params
+
+            trainer.params = load_params(args.resume_from_checkpoint, like=trainer.params)
+            n_micro = len(dataset)
+            max_step = math.ceil(
+                trainer.c.num_train_epochs * n_micro / trainer.c.gradient_accumulation_steps
+            )
+            print(f"Resuming from step {resumed_global_step}; will run {max_step} more")
+
+    trainer.train(dataset)
+    trainer.save_checkpoint(args.output_dir)
+    return trainer
+
+
+if __name__ == "__main__":
+    main(get_args())
