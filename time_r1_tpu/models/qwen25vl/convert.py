@@ -157,3 +157,76 @@ def load_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[dict, Qwen25VLConfig
         cfg = Qwen25VLConfig.from_hf_dict(json.load(f))
     sd = load_safetensors_dir(path)
     return convert_state_dict(sd, cfg, dtype), cfg
+
+
+def export_state_dict(params: dict, cfg: Qwen25VLConfig) -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: params pytree → HF state dict (old-era
+    names: visual.* / model.* / lm_head.*), weights transposed back to
+    torch (out, in) layout. Capability parity with ZeRO-3
+    gather_16bit_weights_on_model_save (scripts/zero3.json:32) — checkpoints
+    written here load in HF transformers / vLLM unchanged."""
+    import numpy as np
+
+    v, t = cfg.vision, cfg.text
+    out: Dict[str, np.ndarray] = {}
+
+    def A(x):
+        return np.asarray(jnp.asarray(x, jnp.float32))
+
+    vis = params["visual"]
+    out["visual.patch_embed.proj.weight"] = A(vis["patch_embed"]["kernel"]).T.reshape(
+        v.hidden_size, v.in_channels, v.temporal_patch_size, v.patch_size, v.patch_size
+    )
+    b = vis["blocks"]
+    for i in range(v.depth):
+        p = f"visual.blocks.{i}"
+        out[f"{p}.norm1.weight"] = A(b["norm1"]["scale"][i])
+        out[f"{p}.norm2.weight"] = A(b["norm2"]["scale"][i])
+        out[f"{p}.attn.qkv.weight"] = A(b["attn"]["qkv_w"][i]).T
+        out[f"{p}.attn.qkv.bias"] = A(b["attn"]["qkv_b"][i])
+        out[f"{p}.attn.proj.weight"] = A(b["attn"]["proj_w"][i]).T
+        out[f"{p}.attn.proj.bias"] = A(b["attn"]["proj_b"][i])
+        for nm in ("gate", "up", "down"):
+            out[f"{p}.mlp.{nm}_proj.weight"] = A(b["mlp"][f"{nm}_w"][i]).T
+            out[f"{p}.mlp.{nm}_proj.bias"] = A(b["mlp"][f"{nm}_b"][i])
+    m = vis["merger"]
+    out["visual.merger.ln_q.weight"] = A(m["ln_q"]["scale"])
+    out["visual.merger.mlp.0.weight"] = A(m["fc1"]["kernel"]).T
+    out["visual.merger.mlp.0.bias"] = A(m["fc1"]["bias"])
+    out["visual.merger.mlp.2.weight"] = A(m["fc2"]["kernel"]).T
+    out["visual.merger.mlp.2.bias"] = A(m["fc2"]["bias"])
+
+    txt = params["text"]
+    out["model.embed_tokens.weight"] = A(txt["embed_tokens"]["embedding"])
+    lay = txt["layers"]
+    for i in range(t.num_hidden_layers):
+        p = f"model.layers.{i}"
+        out[f"{p}.input_layernorm.weight"] = A(lay["input_layernorm"]["scale"][i])
+        out[f"{p}.post_attention_layernorm.weight"] = A(
+            lay["post_attention_layernorm"]["scale"][i]
+        )
+        sa = lay["self_attn"]
+        for nm in ("q", "k", "v"):
+            out[f"{p}.self_attn.{nm}_proj.weight"] = A(sa[f"{nm}_w"][i]).T
+            out[f"{p}.self_attn.{nm}_proj.bias"] = A(sa[f"{nm}_b"][i])
+        out[f"{p}.self_attn.o_proj.weight"] = A(sa["o_w"][i]).T
+        for nm in ("gate", "up", "down"):
+            out[f"{p}.mlp.{nm}_proj.weight"] = A(lay["mlp"][f"{nm}_w"][i]).T
+    out["model.norm.weight"] = A(txt["norm"]["scale"])
+    if not t.tie_word_embeddings and "lm_head" in txt:
+        out["lm_head.weight"] = A(txt["lm_head"]["kernel"]).T
+    return out
+
+
+def save_hf_checkpoint(path: str, params: dict, cfg: Qwen25VLConfig) -> None:
+    """Write an HF-compatible safetensors checkpoint (bf16)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    sd = export_state_dict(params, cfg)
+    # bf16 via ml_dtypes (numpy-native safetensors support)
+    import ml_dtypes
+
+    sd = {k: v.astype(ml_dtypes.bfloat16) for k, v in sd.items()}
+    save_file(sd, os.path.join(path, "model.safetensors"))

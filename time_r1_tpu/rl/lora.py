@@ -1,0 +1,86 @@
+"""LoRA adapters (N9 parity: the reference's peft wrapping + adapter-disable
+ref-model trick, timer1_trainer.py:264-265, 624-631).
+
+Design: adapters are a SEPARATE pytree (lora_a: (L, in, r), lora_b: (L, r, out)
+per target) merged functionally into the base weights before the forward:
+`W_eff = W + (alpha/r)·A@B`. Training differentiates the loss w.r.t. the
+adapter pytree only; reference logps come from the UNMERGED base weights —
+exactly the peft disable_adapter() semantics, without a second model copy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_TARGETS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+
+
+@dataclass(frozen=True)
+class LoRAConfig:
+    rank: int = 16
+    alpha: float = 32.0
+    targets: Sequence[str] = DEFAULT_TARGETS
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+
+def _target_paths(params: dict, targets) -> list[tuple]:
+    paths = []
+
+    def visit(path, leaf):
+        if path and path[-1] in targets and hasattr(leaf, "ndim") and leaf.ndim == 3:
+            paths.append(tuple(path))
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+        else:
+            visit(path, node)
+
+    walk(params, [])
+    return paths
+
+
+def init_lora(params: dict, cfg: LoRAConfig, key, dtype=jnp.float32) -> dict:
+    """Adapter pytree {path_str: {lora_a, lora_b}} over stacked (L, in, out)
+    decoder/vision weights named in cfg.targets. A ~ N(0, 0.02), B = 0
+    (standard LoRA init → adapters start as identity)."""
+    out = {}
+    paths = _target_paths(params, set(cfg.targets))
+    keys = jax.random.split(key, max(len(paths), 1))
+    for k, path in zip(keys, paths):
+        node = params
+        for p in path:
+            node = node[p]
+        L, fan_in, fan_out = node.shape
+        out["/".join(path)] = {
+            "lora_a": (jax.random.normal(k, (L, fan_in, cfg.rank)) * 0.02).astype(dtype),
+            "lora_b": jnp.zeros((L, cfg.rank, fan_out), dtype),
+        }
+    return out
+
+
+def merge_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
+    """Functionally merged weights: W + scaling·A@B at each adapted path."""
+
+    def set_in(tree, path, value):
+        if len(path) == 1:
+            return {**tree, path[0]: value}
+        return {**tree, path[0]: set_in(tree[path[0]], path[1:], value)}
+
+    merged = params
+    for path_str, ab in lora.items():
+        path = tuple(path_str.split("/"))
+        node = merged
+        for p in path:
+            node = node[p]
+        delta = jnp.einsum("lir,lro->lio", ab["lora_a"], ab["lora_b"]) * cfg.scaling
+        merged = set_in(merged, path, node + delta.astype(node.dtype))
+    return merged

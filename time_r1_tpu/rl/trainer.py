@@ -43,6 +43,32 @@ Output your thought process within the <think> </think> tags, including analysis
 
 Then, provide the start and end times (in seconds, precise to two decimal places) in the format "start time to end time" within the <answer> </answer> tags. For example: "12.54 to 17.83"."""
 
+QUESTION_TEMPLATE_TG_V2 = """To accurately pinpoint the event "[EVENT]" in the video, determine the precise time period of the event.
+
+Provide the start and end times (in seconds, precise to two decimal places) in the format "start time to end time" within the <answer> </answer> tags. For example: "12.54 to 17.83"."""
+
+QUESTION_TEMPLATE_TG_V3 = """Carefully analyze the video content to determine the precise time period during which "[EVENT]" occurs.  Within the `<think>` tags, provide a detailed description of your thought process, following the format below:
+```
+<think>
+Step-by-step Analysis:
+<timestep>Time period 1 (start time to end time)</timestep>: Describe the video content within this time period and determine if it is related to "[EVENT]".
+<timestep>Time period 2 (start time to end time)</timestep>: Describe the video content within this time period and determine if it is related to "[EVENT]".
+Based on the above analysis, state the precise time period during which "[EVENT]" occurs.
+</think>
+```
+Finally, in the `<answer>` tags, provide the start and end times of "[EVENT]" in the format "start time to end time" (in seconds, precise to two decimal places). For example: "12.54 to 17.83".
+```
+<answer>
+start time to end time
+</answer>
+```"""
+
+PROMPT_TEMPLATES = {
+    "v1": QUESTION_TEMPLATE_TG_V1,
+    "v2": QUESTION_TEMPLATE_TG_V2,
+    "v3": QUESTION_TEMPLATE_TG_V3,
+}
+
 
 @dataclass
 class TrainConfig:
@@ -79,11 +105,9 @@ class TrainConfig:
 
 
 def make_conversation_video(example: dict, prompt_type: str, total_pixels: int, min_pixels: int):
-    """timer1_trainer.py:490-510 parity."""
-    if prompt_type == "v1":
-        prompt_text = QUESTION_TEMPLATE_TG_V1.replace("[EVENT]", example["problem"])
-    else:
-        raise ValueError(f"prompt_type {prompt_type!r} not supported yet")
+    """timer1_trainer.py:490-510 / timer1_trainer_ft.py:511-535 parity
+    (prompt v1/v2/v3 selection)."""
+    prompt_text = PROMPT_TEMPLATES[prompt_type].replace("[EVENT]", example["problem"])
     return [
         {
             "role": "user",
@@ -170,17 +194,23 @@ class GRPOTrainer:
     def step(self, example: dict) -> dict:
         """One optimizer micro-step on one dataset example (bs=1 × G rollouts)."""
         c = self.c
-        # 1. video decode + budgeted resize (host / native lib)
-        ele = {
-            "video": example["video_path"],
-            "total_pixels": c.total_pixels,
-            "min_pixels": c.min_pixels,
-        }
-        if example.get("video_start") is not None:
-            ele["video_start"] = example["video_start"]
-        if example.get("video_end") is not None:
-            ele["video_end"] = example["video_end"]
-        frames, sample_fps = self.video_loader(ele)
+        # 1. video frames: offline-preprocessed arrays when available
+        # (finetune.py:588-623 path), else live decode + budgeted resize
+        pp = example.get("preprocessed_path") or ""
+        if pp and os.path.exists(os.path.join(pp, "video.npz")):
+            z = np.load(os.path.join(pp, "video.npz"))
+            frames, sample_fps = z["video"].astype(np.float32), float(z["fps"])
+        else:
+            ele = {
+                "video": example["video_path"],
+                "total_pixels": c.total_pixels,
+                "min_pixels": c.min_pixels,
+            }
+            if example.get("video_start") is not None:
+                ele["video_start"] = example["video_start"]
+            if example.get("video_end") is not None:
+                ele["video_end"] = example["video_end"]
+            frames, sample_fps = self.video_loader(ele)
 
         # 2. prompt construction + processor
         conv = make_conversation_video(example, c.prompt_type, c.total_pixels, c.min_pixels)

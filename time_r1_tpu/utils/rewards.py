@@ -119,11 +119,34 @@ def format_reward(completions: Sequence[str], **kwargs) -> List[float]:
     return [1.0 if _FORMAT_RE.fullmatch(c.strip()) else 0.0 for c in completions]
 
 
+def _extract_characters_regex(s: str) -> str:
+    """finetune.py:233-253: strip answer prefixes, then the FIRST [A-G] char;
+    long answers with no option letter yield ''. (Note the reference's list
+    concatenates "Best answer:" "Best option:" into one string — preserved.)"""
+    s = s.strip()
+    answer_prefixes = [
+        "The best answer is",
+        "The correct answer is",
+        "The answer is",
+        "The answer",
+        "The best option is",
+        "The correct option is",
+        "Best answer:" "Best option:",
+    ]
+    for prefix in answer_prefixes:
+        s = s.replace(prefix, "")
+    if len(s.split()) > 10 and not re.search("[ABCDEFG]", s):
+        return ""
+    m = re.search(r"[ABCDEFG]", s)
+    return m[0] if m else ""
+
+
 def mqa_answer_reward(
     completions: Sequence[str], solution: Sequence, task_type: Sequence[str] | None = None, **kwargs
 ) -> List[Optional[float]]:
-    """MCQ letter-match reward (finetune.py:228-285). Returns None for rows
-    whose task_type is not 'mqa' so they don't contribute to this reward."""
+    """MCQ answer reward (finetune.py:228-285): first <answer> block, option
+    letter via _extract_characters_regex, compared against the gt letter.
+    Returns None for rows whose task_type is not 'mqa'."""
     if task_type is None:
         task_type = kwargs.get("task_type", ["mqa"] * len(completions))
     rewards: List[Optional[float]] = []
@@ -132,14 +155,11 @@ def mqa_answer_reward(
             rewards.append(None)
             continue
         reward = 0.0
-        answer_matches = _ANSWER_RE.findall(content)
-        if answer_matches:
-            letters = re.findall(r"\(([A-Z])\)", answer_matches[-1])
-            if not letters:
-                letters = re.findall(r"\b([A-Z])\b", answer_matches[-1])
-            if letters:
-                gt_letter = sol if isinstance(sol, str) else chr(int(sol) + ord("A"))
-                reward = 1.0 if letters[-1] == gt_letter else 0.0
+        match_answer = re.search(r"<answer>(.*?)</answer>", content, re.DOTALL)
+        if match_answer:
+            gt = sol if isinstance(sol, str) else chr(int(sol) + ord("A"))
+            if _extract_characters_regex(match_answer.group(1)) == _extract_characters_regex(gt):
+                reward = 1.0
         rewards.append(reward)
     return rewards
 
