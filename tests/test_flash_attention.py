@@ -1,0 +1,77 @@
+"""Pallas flash attention vs reference SDPA: forward and gradients (fwd+bwd
+kernel parity, interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from time_r1_tpu.ops.attention import mha_reference
+from time_r1_tpu.ops.flash_attention import NEG_INF, flash_attention
+
+
+def _ref_with_kv_bias(q, k, v, kv_bias, causal, q_offset=0):
+    B, Sq = q.shape[0], q.shape[1]
+    Skv = k.shape[1]
+    bias = kv_bias[:, None, None, :]
+    if causal:
+        q_pos = q_offset + jnp.arange(Sq)[:, None]
+        kv_pos = jnp.arange(Skv)[None, :]
+        causal_bias = jnp.where(kv_pos <= q_pos, 0.0, NEG_INF)[None, None]
+        bias = bias + causal_bias
+    return mha_reference(q, k, v, bias=bias)
+
+
+CASES = [
+    # (B, Sq, Skv, H, Hkv, D, causal, q_offset, n_pad)
+    (2, 128, 128, 4, 2, 64, True, 0, 0),
+    (1, 256, 256, 4, 4, 64, True, 0, 32),
+    (2, 128, 256, 4, 2, 64, True, 128, 0),  # cached prefix (decode-chunk)
+    (1, 128, 128, 2, 1, 64, False, 0, 16),
+]
+
+
+@pytest.mark.parametrize("B,Sq,Skv,H,Hkv,D,causal,q_offset,n_pad", CASES)
+def test_flash_forward_matches_reference(B, Sq, Skv, H, Hkv, D, causal, q_offset, n_pad):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, Sq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Skv, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Skv, Hkv, D)), jnp.float32)
+    kv_bias = jnp.zeros((B, Skv), jnp.float32)
+    if n_pad:
+        kv_bias = kv_bias.at[:, :n_pad].set(NEG_INF)  # left padding
+
+    out = flash_attention(q, k, v, kv_bias, causal, None, q_offset)
+    want = _ref_with_kv_bias(q, k, v, kv_bias, causal, q_offset)
+    # rows whose keys are ALL masked are garbage in both impls (flash → 0,
+    # ref → uniform mean); they are pad queries masked downstream — skip them
+    valid_q = np.ones((Sq,), bool)
+    if causal and n_pad:
+        valid_q[: max(0, n_pad - q_offset)] = False
+    np.testing.assert_allclose(
+        np.asarray(out)[:, valid_q], np.asarray(want)[:, valid_q], atol=2e-5, rtol=2e-5
+    )
+
+
+def test_flash_gradients_match_reference():
+    B, Sq, H, Hkv, D = 1, 128, 4, 2, 64
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, Sq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Sq, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Sq, Hkv, D)), jnp.float32)
+    kv_bias = jnp.zeros((B, Sq), jnp.float32).at[:, :16].set(NEG_INF)
+    g = jnp.asarray(rng.normal(size=(B, Sq, H, D)), jnp.float32)
+    g = g.at[:, :16].set(0.0)  # no cotangent on pad (all-masked) query rows
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_bias, True, None, 0) * g)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_ref_with_kv_bias(q, k, v, kv_bias, True) * g)
+
+    gq, gk, gv = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-4, rtol=5e-4)
