@@ -20,7 +20,7 @@ import numpy as np
 A100_VLLM_3B_DECODE_TOKS_PER_S = 700.0
 
 BATCH = 8  # G in the GRPO recipes
-PROMPT_TEXT_TOKENS = 128
+PROMPT_TEXT_TOKENS = 224  # total prompt = 224-2+1568+2 = 1792 (14×128, flash-aligned)
 VIDEO_GRID = (8, 28, 28)  # 6272 patches → 1568 video tokens (3584·28² budget)
 DECODE_STEPS = 128
 
@@ -86,7 +86,8 @@ def main():
     def prefill(params, ids, pos_ids, vis):
         cache = KVCache.zeros(cfg.text, BATCH, max_len, dtype=jnp.bfloat16)
         logits, cache = forward(
-            params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache
+            params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache,
+            flash_q_offset=0,
         )
         first = sample_tokens(logits[:, -1], jax.random.PRNGKey(1), sp)
         return cache, first

@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# TimeRFT GRPO post-training recipe (parity: reference scripts/posttrain/train_rl.sh).
+# One process drives the whole TPU slice via jax; no torchrun/deepspeed launchers.
+set -euo pipefail
+
+export EXP_NAME=${EXP_NAME:-3b_kl_cot_gaussian_03_iouv2_2500_ME}
+export DEBUG_MODE=${DEBUG_MODE:-true}
+export LOG_PATH=${LOG_PATH:-./logs/$EXP_NAME/$EXP_NAME.txt}
+
+OUTDIR=./logs/$EXP_NAME
+BASE_MODEL=${BASE_MODEL:-./ckpts/Qwen2.5-VL-3B-Instruct}
+
+python -m time_r1_tpu.cli.train \
+    --output_dir "$OUTDIR" \
+    --model_name_or_path "$BASE_MODEL" \
+    --train_data_path ./dataset/timer1/annotations/train_2k5.json \
+    --dataset_name xxx \
+    --max_prompt_length 8192 \
+    --max_completion_length 200 \
+    --num_generations 8 \
+    --per_device_train_batch_size 1 \
+    --gradient_accumulation_steps 2 \
+    --data_seed 42 \
+    --gradient_checkpointing true \
+    --fix_vit true \
+    --slide_window false \
+    --num_train_epochs 5 \
+    --run_name "$EXP_NAME" \
+    --report_to tensorboard \
+    --reward_funcs iou_v2 format \
+    --temperature 1.0 \
+    --prompt_type v1 \
+    --is_curriculum_learning false \
+    --logging_dir "$OUTDIR" \
+    --logging_steps 1 \
+    --save_steps 50 \
+    --save_only_model true

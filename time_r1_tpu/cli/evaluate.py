@@ -86,6 +86,9 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
         processor = Qwen25VLProcessor.from_pretrained(args.model_base)
     text_engine = TextEngine(engine, processor)
 
+    # mcq + train split → probability-based scoring over option letters with
+    # the assistant-prefix answer prompt (reference evaluate.py:88,104-122)
+    prob_mode = args.datatype == "mcq" and args.split == "train"
     dataset = EvalDataset(
         processor,
         datatype=args.datatype,
@@ -100,6 +103,7 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
         prompt_type=args.prompt_type,
         use_nothink=args.use_nothink,
         use_prepared_video=args.use_prepared_video,
+        use_answer_prompt=prob_mode,
     )
 
     t0 = time.perf_counter()
@@ -112,6 +116,26 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
 
     n_done = 0
     for batch in dataset.iter_batches(args.batch_size):
+        if prob_mode:
+            import numpy as _np
+
+            logits = engine.last_token_logits([b["request"] for b in batch])
+            for b, lg in zip(batch, logits):
+                option_ids = [processor.tokenizer.encode(l, add_special_tokens=False)[0] for l in b["options"]]
+                opt = lg[option_ids]
+                probs = _np.exp(opt - opt.max())
+                probs = probs / probs.sum()
+                rec = {
+                    "qid": b["qid"],
+                    "pred": int(probs.argmax()),
+                    "target": b["answer"],
+                    "duration": b.get("duration"),
+                    "probs": [float(p) for p in probs],
+                }
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                n_done += 1
+            continue
         outputs = text_engine.generate(
             [b["request"] for b in batch],
             max_new_tokens=args.max_new_tokens,

@@ -124,6 +124,19 @@ def _sliding_flags(cfg: TextConfig) -> jnp.ndarray:
     return jnp.array(flags)
 
 
+def _flash_eligible(cfg: TextConfig, seq_len: int) -> bool:
+    """Use the Pallas flash kernel when on TPU with MXU-aligned shapes and no
+    sliding window (the recipes disable sliding everywhere)."""
+    import jax as _jax
+
+    return (
+        _jax.default_backend() == "tpu"
+        and cfg.head_dim == 128
+        and seq_len % 128 == 0
+        and not (cfg.use_sliding_window and cfg.sliding_window is not None)
+    )
+
+
 def decoder_forward(
     params: dict,
     cfg: TextConfig,
@@ -131,7 +144,8 @@ def decoder_forward(
     position_ids: jnp.ndarray,  # (3, B, S)
     attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1/0 padding mask
     cache: Optional[KVCache] = None,
-    use_flash: bool = False,
+    use_flash: Optional[bool] = None,
+    flash_q_offset: Optional[int] = None,  # STATIC offset enabling flash in the cached prefill
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
 
@@ -175,6 +189,24 @@ def decoder_forward(
     sliding = _sliding_flags(cfg)
     layers = params["layers"]
 
+    # Pallas flash kernel on TPU for the MXU-aligned no-cache path
+    # (training / logp recompute); the cached-decode and sliding-window paths
+    # use the grouped-einsum reference.
+    flash = use_flash if use_flash is not None else (cache is None and _flash_eligible(cfg, S))
+    flash_cached = (
+        cache is not None
+        and flash_q_offset is not None
+        and _flash_eligible(cfg, S)
+        and cache.k.shape[2] % 128 == 0
+        and flash_q_offset % 128 == 0
+    )
+    if flash or flash_cached:
+        kv_len = S if cache is None else cache.k.shape[2]
+        if attention_mask is not None:
+            kv_bias = jnp.where(attention_mask[:, :kv_len] > 0, 0.0, NEG_INF).astype(jnp.float32)
+        else:
+            kv_bias = jnp.zeros((B, kv_len), jnp.float32)
+
     def layer(x, scanned):
         lp, is_sliding, layer_k, layer_v = scanned
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
@@ -188,8 +220,21 @@ def decoder_forward(
         if cache is not None:
             k_all = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype), (0, cache.length, 0, 0))
             v_all = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype), (0, cache.length, 0, 0))
-            attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
+            if flash_cached:
+                from ...ops.flash_attention import flash_attention
+
+                attn = flash_attention(
+                    q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_bias,
+                    True, None, flash_q_offset,
+                )
+            else:
+                attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
             new_k, new_v = k_all, v_all
+        elif flash:
+            from ...ops.flash_attention import flash_attention
+
+            attn = flash_attention(q, k, v, kv_bias, True, None, 0)
+            new_k, new_v = layer_k, layer_v
         else:
             b = jnp.where(is_sliding, window_bias, bias)
             attn = mha_reference(q, k, v, bias=b)

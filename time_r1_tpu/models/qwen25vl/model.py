@@ -84,7 +84,8 @@ def forward(
     attention_mask: Optional[jnp.ndarray] = None,  # (B, S)
     vision: Optional[VisionInputs] = None,
     cache: Optional[KVCache] = None,
-    use_flash: bool = False,
+    use_flash: Optional[bool] = None,
+    flash_q_offset: Optional[int] = None,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full forward → (logits (B, S, V) fp32, updated KV cache)."""
     embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], input_ids, axis=0)
@@ -106,5 +107,6 @@ def forward(
     hidden, new_cache = decoder_forward(
         params["text"], cfg.text, embeds, position_ids,
         attention_mask=attention_mask, cache=cache, use_flash=use_flash,
+        flash_q_offset=flash_q_offset,
     )
     return lm_logits(params["text"], cfg.text, hidden), new_cache

@@ -102,6 +102,8 @@ class TrainConfig:
     seed: int = 42
     is_early_stopping: bool = False  # stop after 1 epoch (SF rounds)
     resume_from_checkpoint: Optional[str] = None
+    report_to: str = "tensorboard"
+    logging_dir: Optional[str] = None
 
 
 def make_conversation_video(example: dict, prompt_type: str, total_pixels: int, min_pixels: int):
@@ -180,6 +182,20 @@ class GRPOTrainer:
         self._metrics: dict[str, list] = {}
         self.global_step = 0
         self._rng = np.random.default_rng(config.seed)
+        self.timers = None  # set lazily (utils.profiling.PhaseTimers)
+        self._tb = None
+        if config.report_to == "tensorboard":
+            try:
+                from ..utils.logging_sinks import TensorBoardSink
+
+                self._tb = TensorBoardSink(config.logging_dir or os.path.join(config.output_dir, "tb"))
+            except Exception as e:  # tensorboard optional
+                print(f"[trainer] tensorboard sink unavailable: {e}")
+        from ..utils.logging_sinks import DebugRewardLog
+        from ..utils.profiling import PhaseTimers
+
+        self._debug_log = DebugRewardLog()
+        self.timers = PhaseTimers()
 
     # ------------------------------------------------------------------
     def _log_metric(self, key: str, value: float):
@@ -229,9 +245,10 @@ class GRPOTrainer:
             seed=int(self._rng.integers(0, 2**31 - 1)),
         )
         self.engine.params = self.params  # live weights
-        completions = self.engine.generate(
-            [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
-        )
+        with self.timers.phase("rollout"):
+            completions = self.engine.generate(
+                [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
+            )
         completion_texts = self.processor.batch_decode(
             [self._strip_stop(cmp) for cmp in completions], skip_special_tokens=True
         )
@@ -246,6 +263,11 @@ class GRPOTrainer:
             out = fn(completions=completion_texts, **reward_kwargs)
             rewards_per_func[:, i] = [0.0 if r is None else float(r) for r in out]
         rewards = rewards_per_func.sum(axis=1)
+        if self._debug_log.enabled:
+            for g in range(G):
+                self._debug_log.log_reward(
+                    completion_texts[g], None, example.get("solution"), float(rewards[g])
+                )
         advantages = compute_group_advantages(rewards, G)
 
         for i, fn in enumerate(self.reward_funcs):
@@ -270,12 +292,14 @@ class GRPOTrainer:
             dtype=self.dtype,
         )
         if self.ref_params is not None:
-            ref_logps = compute_ref_logps(self.ref_params, self.cfg, self.hp, batch)
+            with self.timers.phase("ref_logps"):
+                ref_logps = compute_ref_logps(self.ref_params, self.cfg, self.hp, batch)
             batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
 
-        self.params, self.opt_state, loss, metrics = self._train_step(
-            self.params, self.opt_state, batch
-        )
+        with self.timers.phase("train_step"):
+            self.params, self.opt_state, loss, metrics = self._train_step(
+                self.params, self.opt_state, batch
+            )
         for k, v in metrics.items():
             self._log_metric(k, float(v))
         self.global_step += 1
@@ -296,6 +320,8 @@ class GRPOTrainer:
                 info = self.step(example)
                 if self.global_step % c.logging_steps == 0:
                     logs = {"epoch": epoch, "step": self.global_step, **self.pop_metrics()}
+                    if self._tb is not None:
+                        self._tb.log(logs, self.global_step)
                     (log_fn or print)(logs)
                 if c.save_strategy == "steps" and self.global_step % c.save_steps == 0:
                     self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{self.global_step}"))

@@ -48,11 +48,16 @@ class Request:
     second_per_grid_t: float = 1.0
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
+def _bucket(n: int, minimum: int = 128) -> int:
+    """Power-of-two bucket (≥128 keeps shapes MXU/flash-block aligned)."""
     b = minimum
     while b < n:
         b *= 2
     return b
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def sample_tokens(
@@ -114,7 +119,8 @@ def prefill_and_decode(
     dtype = jax.tree_util.tree_leaves(params)[0].dtype
     cache = KVCache.zeros(cfg.text, B, max_len, dtype=dtype)
     logits, cache = forward(
-        params, cfg, ids, pos_ids, attention_mask=mask, vision=vis, cache=cache
+        params, cfg, ids, pos_ids, attention_mask=mask, vision=vis, cache=cache,
+        flash_q_offset=0,  # prefill writes at offset 0 → flash-eligible
     )
     rng, sub = jax.random.split(rng)
     stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
@@ -153,6 +159,13 @@ def prefill_and_decode(
     return final.tokens
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill_logits(params, cfg, ids, pos_ids, mask, vis):
+    """Last-token logits for a left-padded batch (no decode)."""
+    logits, _ = forward(params, cfg, ids, pos_ids, attention_mask=mask, vision=vis)
+    return logits[:, -1]
+
+
 class Engine:
     """Request-level generation engine over a loaded model."""
 
@@ -160,6 +173,44 @@ class Engine:
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
+
+    def last_token_logits(self, requests: Sequence["Request"]) -> np.ndarray:
+        """(B, V) fp32 logits at each prompt's last position — the prob-based
+        MCQ path (reference evaluate.py:104-122)."""
+        reqs = list(requests)
+        B = len(reqs)
+        S = _bucket(max(len(r.input_ids) for r in reqs))
+        ids = np.full((B, S), self.cfg.pad_token_id, np.int64)
+        mask = np.zeros((B, S), np.int64)
+        for i, r in enumerate(reqs):
+            L = len(r.input_ids)
+            ids[i, S - L :] = r.input_ids
+            mask[i, S - L :] = 1
+        vis, grids, spgs = None, [], []
+        patch_list = []
+        for r in reqs:
+            if r.patches is not None:
+                grids.append(tuple(int(x) for x in r.grid_thw))
+                spgs.append(r.second_per_grid_t)
+                patch_list.append(r.patches)
+        if patch_list:
+            patches = np.concatenate(patch_list, axis=0)
+            unit = self.cfg.vision.merge_unit
+            pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
+            prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
+            vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
+        pos_ids, _ = get_rope_index(
+            self.cfg,
+            ids,
+            video_grid_thw=np.array(grids, np.int64) if grids else None,
+            second_per_grid_ts=spgs if spgs else None,
+            attention_mask=mask,
+        )
+        return np.asarray(
+            _prefill_logits(
+                self.params, self.cfg, jnp.asarray(ids), jnp.asarray(pos_ids), jnp.asarray(mask), vis
+            )
+        )
 
     def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
         """Generate completions for a batch of requests; returns token lists
@@ -169,7 +220,7 @@ class Engine:
         B = len(reqs)
         prompt_lens = [len(r.input_ids) for r in reqs]
         S = _bucket(max(prompt_lens))
-        max_len = S + sp.max_new_tokens
+        max_len = S + _round_up(sp.max_new_tokens, 128)  # flash-aligned cache
 
         ids = np.full((B, S), self.cfg.pad_token_id, np.int64)
         mask = np.zeros((B, max_len), np.int64)
