@@ -27,8 +27,18 @@ DECODE_STEPS = 128
 
 def main():
     import functools
+    import os
 
     import jax
+
+    # persistent compilation cache: the driver re-runs bench every round on
+    # the same machine; first-round compiles (~minutes through the TPU
+    # tunnel) are amortized away afterwards
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from time_r1_tpu.models.qwen25vl import (
@@ -85,9 +95,10 @@ def main():
     @jax.jit
     def prefill(params, ids, pos_ids, vis):
         cache = KVCache.zeros(cfg.text, BATCH, max_len, dtype=jnp.bfloat16)
+        # NOTE: headline metric is decode throughput; prefill runs the
+        # reference attention to keep first-round compile time bounded
         logits, cache = forward(
             params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache,
-            flash_q_offset=0,
         )
         first = sample_tokens(logits[:, -1], jax.random.PRNGKey(1), sp)
         return cache, first

@@ -57,22 +57,33 @@ def merge_vision_embeddings(
     input_ids: jnp.ndarray,  # (B, S)
     vision_features: jnp.ndarray,  # (U_pad, hidden) in original unit order
     vision_token_ids: tuple[int, ...],
+    feature_offset=0,  # first feature row consumed (chunked prefill)
 ) -> jnp.ndarray:
     """Replace embeddings at vision-token positions with vision features,
-    consumed in order across the flattened (B, S) sequence.
+    consumed in order across the flattened (B, S) sequence starting at
+    `feature_offset` (may be a traced scalar).
+
+    `feature_offset` is either a scalar added to every row's start (0 for a
+    full-sequence forward — row starts are derived from the ids themselves)
+    or a (B,) vector of absolute per-row feature starts (chunked prefill,
+    host-computed from the full sequence).
 
     Supports one vision modality per call (video OR image — the Time-R1
     pipeline is video-only; both ids are accepted so image-only prompts work)."""
     B, S, H = embeds.shape
-    flat_ids = input_ids.reshape(-1)
-    is_vis = jnp.zeros_like(flat_ids, dtype=bool)
+    is_vis = jnp.zeros_like(input_ids, dtype=bool)
     for tid in vision_token_ids:
-        is_vis |= flat_ids == tid
-    # k-th vision token (flattened order) takes vision_features[k]
-    idx = jnp.cumsum(is_vis.astype(jnp.int32)) - 1
+        is_vis |= input_ids == tid
+    within_row = jnp.cumsum(is_vis.astype(jnp.int32), axis=1) - 1  # (B, S)
+    offset = jnp.asarray(feature_offset)
+    if offset.ndim == 0:
+        per_row_total = is_vis.sum(axis=1).astype(jnp.int32)
+        row_start = jnp.cumsum(per_row_total) - per_row_total  # exclusive
+        offset = offset + row_start  # (B,)
+    idx = offset[:, None] + within_row
     idx = jnp.clip(idx, 0, vision_features.shape[0] - 1)
-    gathered = jnp.take(vision_features, idx, axis=0).astype(embeds.dtype)
-    merged = jnp.where(is_vis[:, None], gathered, embeds.reshape(-1, H))
+    gathered = jnp.take(vision_features, idx.reshape(-1), axis=0).astype(embeds.dtype)
+    merged = jnp.where(is_vis.reshape(-1)[:, None], gathered, embeds.reshape(-1, H))
     return merged.reshape(B, S, H)
 
 

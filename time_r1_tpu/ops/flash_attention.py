@@ -36,7 +36,7 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(
-    kv_bias_ref,  # (1, Skv) additive kv bias (padding), fp32
+    kv_bias_ref,  # (1, 1, Skv) additive kv bias (padding), fp32
     q_ref,  # (BQ, D)
     k_ref,  # (Skv, D)
     v_ref,  # (Skv, D)
@@ -73,7 +73,7 @@ def _fwd_kernel(
         k = k_ref[0, 0, pl.ds(kj * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, 0, pl.ds(kj * block_k, block_k), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        s = s + kv_bias_ref[0, pl.ds(kj * block_k, block_k)][None, :]
+        s = s + kv_bias_ref[0, 0, pl.ds(kj * block_k, block_k)][None, :]
         if causal:
             k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
@@ -127,7 +127,7 @@ def _flash_fwd(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Skv), lambda b, h, qi: (b, 0)),
+            pl.BlockSpec((1, 1, Skv), lambda b, h, qi: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
@@ -141,7 +141,7 @@ def _flash_fwd(
             jax.ShapeDtypeStruct((B, H, Sq, 128), jnp.float32),
         ],
         interpret=_interpret(),
-    )(kv_bias, qT, kT, vT)
+    )(kv_bias[:, None, :], qT, kT, vT)
     return out.transpose(0, 2, 1, 3), lse[..., 0]
 
 
@@ -170,7 +170,7 @@ def _bwd_kernel_dq(
         k = k_ref[0, 0, pl.ds(kj * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, 0, pl.ds(kj * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        s = s + kv_bias_ref[0, pl.ds(kj * block_k, block_k)][None, :]
+        s = s + kv_bias_ref[0, 0, pl.ds(kj * block_k, block_k)][None, :]
         if causal:
             k_pos = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
@@ -192,7 +192,7 @@ def _bwd_kernel_dkv(
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
     k_pos = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-    kv_bias = kv_bias_ref[0, pl.ds(kj * bk, bk)][None, :]
+    kv_bias = kv_bias_ref[0, 0, pl.ds(kj * bk, bk)][None, :]
 
     num_q_blocks = pl.cdiv(sq, block_q)
     if causal:
@@ -293,7 +293,7 @@ def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
         ),
         grid=(B, H, Sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, Skv), lambda b, h, qi: (b, 0)),
+            pl.BlockSpec((1, 1, Skv), lambda b, h, qi: (b, 0, 0)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
             pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
@@ -304,7 +304,7 @@ def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
         interpret=_interpret(),
-    )(kv_bias, qT, kT, vT, doT, lseT, deltaT)
+    )(kv_bias[:, None, :], qT, kT, vT, doT, lseT, deltaT)
 
     # dk/dv accumulated per q-head then summed over the group
     dk, dv = pl.pallas_call(
@@ -319,7 +319,7 @@ def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
         ),
         grid=(B, H, Skv // block_k),
         in_specs=[
-            pl.BlockSpec((1, Skv), lambda b, h, kj: (b, 0)),
+            pl.BlockSpec((1, 1, Skv), lambda b, h, kj: (b, 0, 0)),
             pl.BlockSpec((1, 1, Sq, D), lambda b, h, kj: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h // G, kj, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h // G, kj, 0)),
@@ -336,7 +336,7 @@ def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(kv_bias, qT, kT, vT, doT, lseT, deltaT)
+    )(kv_bias[:, None, :], qT, kT, vT, doT, lseT, deltaT)
     # sum q-head grads within each kv group
     dk = dk.reshape(B, Hkv, G, Skv, D).sum(axis=2).transpose(0, 2, 1, 3).astype(k.dtype)
     dv = dv.reshape(B, Hkv, G, Skv, D).sum(axis=2).transpose(0, 2, 1, 3).astype(v.dtype)

@@ -1,17 +1,21 @@
 """Batched autoregressive generation engine (TPU-native vLLM-capability, N2).
 
-Replaces the reference's vLLM dependency (vllm_infer.py:40-171) with a jitted
-JAX engine:
+Replaces the reference's vLLM dependency (vllm_infer.py:40-171) with jitted
+JAX programs:
 
-- static-shape KV cache in HBM (prefill writes [0, S); decode appends);
-- left-padded prompt buckets (power-of-two bucketing keeps recompiles bounded);
+- vision features computed once per batch (own program);
+- CHUNKED PREFILL: prompts longer than `prefill_chunk` tokens stream through
+  the decoder in fixed-size chunks writing into the static KV cache —
+  the reference's max_num_batched_tokens=8192 budget (vllm_infer.py:53);
 - decode loop under `jax.lax.while_loop` with early exit when every row hit a
   stop token — all sampling (greedy / temperature / top-k / top-p /
   repetition-penalty) happens ON DEVICE;
 - G-way grouped rollouts for GRPO (`num_return_sequences`, parity with
   timer1_trainer.py:371-377);
 - stop ids [151645, 151643] with include-stop-in-output semantics
-  (vllm_infer.py:112-114 parity).
+  (vllm_infer.py:112-114 parity);
+- left-padded power-of-two prompt buckets keep recompiles bounded; the
+  Pallas flash kernel drives prefill attention on TPU.
 
 The two-pass MCQ answer-forcing flow lives at the text level in
 sampler/text_engine.py (vllm_infer.py:130-169 parity).
@@ -35,7 +39,12 @@ from ..models.qwen25vl import (
     get_rope_index,
     prepare_vision_inputs,
 )
+from ..models.qwen25vl.model import merge_vision_embeddings
+from ..models.qwen25vl.language import decoder_forward, lm_logits
+from ..models.qwen25vl.vision import vision_forward
 from .params import SamplingParams
+
+PREFILL_CHUNK = 8192  # max_num_batched_tokens parity
 
 
 @dataclass
@@ -89,6 +98,39 @@ def sample_tokens(
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_vision_features(params, cfg: Qwen25VLConfig, vis: VisionInputs) -> jnp.ndarray:
+    return vision_forward(
+        params["visual"], cfg.vision, vis.patches, vis.perm, vis.pos_hw,
+        vis.key_valid, vis.full_gather, vis.full_inverse, vis.reverse,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "q_offset"))
+def prefill_chunk(
+    params,
+    cfg: Qwen25VLConfig,
+    cache: KVCache,
+    ids: jnp.ndarray,  # (B, C)
+    pos_ids: jnp.ndarray,  # (3, B, C)
+    mask: jnp.ndarray,  # (B, max_len)
+    feats: Optional[jnp.ndarray],  # (U_pad, hidden) or None
+    feat_offsets: Optional[jnp.ndarray],  # (B,) absolute feature starts
+    q_offset: int,
+):
+    """One prompt chunk through the decoder, appending to the cache."""
+    embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], ids, axis=0)
+    if feats is not None:
+        embeds = merge_vision_embeddings(
+            embeds, ids, feats, (cfg.video_token_id, cfg.image_token_id), feat_offsets
+        )
+    hidden, cache = decoder_forward(
+        params["text"], cfg.text, embeds, pos_ids,
+        attention_mask=mask, cache=cache, flash_q_offset=q_offset,
+    )
+    return lm_logits(params["text"], cfg.text, hidden[:, -1:]), cache
+
+
 class DecodeState(NamedTuple):
     cache: KVCache
     tokens: jnp.ndarray  # (B, max_new) generated tokens (pad_id after stop)
@@ -99,35 +141,26 @@ class DecodeState(NamedTuple):
     counts: jnp.ndarray  # (B, V) int32 (or (B, 1) when unused)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len", "sp"))
-def prefill_and_decode(
-    params: dict,
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(2,))
+def decode_loop(
+    params,
     cfg: Qwen25VLConfig,
-    ids: jnp.ndarray,  # (B, S) left-padded prompts
-    pos_ids: jnp.ndarray,  # (3, B, S)
-    mask: jnp.ndarray,  # (B, S + max_new)
-    vis: Optional[VisionInputs],
-    start_pos: jnp.ndarray,  # (B,) position of first generated token
-    prompt_len: int,
+    cache: KVCache,
+    first_logits: jnp.ndarray,  # (B, V) logits at the last prompt position
+    start_pos: jnp.ndarray,  # (B,) position of the first generated token
+    mask: jnp.ndarray,  # (B, max_len)
     sp: SamplingParams,
     rng: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Jitted prefill + decode; returns generated tokens (B, max_new)."""
-    B = ids.shape[0]
-    max_len = mask.shape[1]
+    """Sample + decode up to sp.max_new_tokens; returns tokens (B, max_new)."""
+    B = first_logits.shape[0]
     max_new = sp.max_new_tokens
-    dtype = jax.tree_util.tree_leaves(params)[0].dtype
-    cache = KVCache.zeros(cfg.text, B, max_len, dtype=dtype)
-    logits, cache = forward(
-        params, cfg, ids, pos_ids, attention_mask=mask, vision=vis, cache=cache,
-        flash_q_offset=0,  # prefill writes at offset 0 → flash-eligible
-    )
-    rng, sub = jax.random.split(rng)
     stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
     track_counts = sp.repetition_penalty != 1.0
-    V = logits.shape[-1]
+    V = first_logits.shape[-1]
 
-    first = sample_tokens(logits[:, -1], sub, sp)
+    rng, sub = jax.random.split(rng)
+    first = sample_tokens(first_logits, sub, sp)
     counts0 = jnp.zeros((B, V if track_counts else 1), jnp.int32)
     if track_counts:
         counts0 = counts0.at[jnp.arange(B), first].add(1)
@@ -138,7 +171,7 @@ def prefill_and_decode(
         return (s.step < max_new) & ~jnp.all(s.done)
 
     def body(s: DecodeState):
-        pos = start_pos + s.step  # (B,) all three mrope axes advance together
+        pos = start_pos + s.step  # all three mrope axes advance together
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
         lg, cache = forward(
             params, cfg, s.last[:, None], pos3, attention_mask=mask, cache=s.cache
@@ -159,35 +192,38 @@ def prefill_and_decode(
     return final.tokens
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _prefill_logits(params, cfg, ids, pos_ids, mask, vis):
-    """Last-token logits for a left-padded batch (no decode)."""
-    logits, _ = forward(params, cfg, ids, pos_ids, attention_mask=mask, vision=vis)
-    return logits[:, -1]
-
-
 class Engine:
     """Request-level generation engine over a loaded model."""
 
-    def __init__(self, params: dict, cfg: Qwen25VLConfig, dtype=jnp.bfloat16):
+    def __init__(
+        self,
+        params: dict,
+        cfg: Qwen25VLConfig,
+        dtype=jnp.bfloat16,
+        prefill_chunk_tokens: int = PREFILL_CHUNK,
+    ):
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
+        self.prefill_chunk_tokens = prefill_chunk_tokens
 
-    def last_token_logits(self, requests: Sequence["Request"]) -> np.ndarray:
-        """(B, V) fp32 logits at each prompt's last position — the prob-based
-        MCQ path (reference evaluate.py:104-122)."""
-        reqs = list(requests)
+    # ------------------------------------------------------------------
+    def _pack(self, reqs: Sequence[Request], extra_len: int = 0):
+        """Left-pad prompts into (ids, mask, pos_ids, start_pos, vis, feat_base)."""
         B = len(reqs)
-        S = _bucket(max(len(r.input_ids) for r in reqs))
+        prompt_lens = [len(r.input_ids) for r in reqs]
+        S = _bucket(max(prompt_lens))
+        max_len = S + _round_up(extra_len, 128) if extra_len else S
         ids = np.full((B, S), self.cfg.pad_token_id, np.int64)
-        mask = np.zeros((B, S), np.int64)
+        mask = np.zeros((B, max_len), np.int64)
         for i, r in enumerate(reqs):
             L = len(r.input_ids)
             ids[i, S - L :] = r.input_ids
-            mask[i, S - L :] = 1
-        vis, grids, spgs = None, [], []
-        patch_list = []
+            mask[i, S - L : S] = 1
+        if extra_len:
+            mask[:, S:] = 1  # decode slots: causal bias hides unwritten cells
+
+        vis, grids, spgs, patch_list = None, [], [], []
         for r in reqs:
             if r.patches is not None:
                 grids.append(tuple(int(x) for x in r.grid_thw))
@@ -199,81 +235,67 @@ class Engine:
             pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
             prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
             vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
+
         pos_ids, _ = get_rope_index(
             self.cfg,
             ids,
             video_grid_thw=np.array(grids, np.int64) if grids else None,
             second_per_grid_ts=spgs if spgs else None,
-            attention_mask=mask,
+            attention_mask=mask[:, :S],
         )
-        return np.asarray(
-            _prefill_logits(
-                self.params, self.cfg, jnp.asarray(ids), jnp.asarray(pos_ids), jnp.asarray(mask), vis
-            )
-        )
+        start_pos = pos_ids.max(axis=(0, 2)) + 1
+        return ids, mask, pos_ids, start_pos, vis, S, max_len
 
+    def _prefill(self, ids, mask, pos_ids, vis, S: int, max_len: int):
+        """Chunked prefill → (last-position logits, cache)."""
+        B = ids.shape[0]
+        cache = KVCache.zeros(self.cfg.text, B, max_len, dtype=self.dtype)
+        feats = None
+        if vis is not None:
+            feats = compute_vision_features(self.params, self.cfg, vis)
+
+        chunk = self.prefill_chunk_tokens
+        is_vis_np = np.isin(ids, [self.cfg.video_token_id, self.cfg.image_token_id])
+        row_total = is_vis_np.sum(axis=1)
+        row_start = np.cumsum(row_total) - row_total  # absolute feature starts
+
+        logits = None
+        for c0 in range(0, S, chunk):
+            c1 = min(S, c0 + chunk)
+            feat_off = row_start + is_vis_np[:, :c0].sum(axis=1)
+            logits, cache = prefill_chunk(
+                self.params,
+                self.cfg,
+                cache,
+                jnp.asarray(ids[:, c0:c1]),
+                jnp.asarray(pos_ids[:, :, c0:c1]),
+                jnp.asarray(mask),
+                feats,
+                jnp.asarray(feat_off, jnp.int32) if feats is not None else None,
+                c0,
+            )
+        return logits[:, -1], cache
+
+    # ------------------------------------------------------------------
     def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
         """Generate completions for a batch of requests; returns token lists
         (stop token included when sp.include_stop_token)."""
         G = sp.num_return_sequences
         reqs = [r for r in requests for _ in range(G)]
-        B = len(reqs)
-        prompt_lens = [len(r.input_ids) for r in reqs]
-        S = _bucket(max(prompt_lens))
-        max_len = S + _round_up(sp.max_new_tokens, 128)  # flash-aligned cache
-
-        ids = np.full((B, S), self.cfg.pad_token_id, np.int64)
-        mask = np.zeros((B, max_len), np.int64)
-        for i, r in enumerate(reqs):
-            L = len(r.input_ids)
-            ids[i, S - L :] = r.input_ids
-            mask[i, S - L : S] = 1
-        # decode slots: causal bias already hides unwritten future positions
-        mask[:, S:] = 1
-
-        vis = None
-        grids, spgs, patch_list = [], [], []
-        for r in reqs:
-            if r.patches is not None:
-                grids.append(tuple(int(x) for x in r.grid_thw))
-                spgs.append(r.second_per_grid_t)
-                patch_list.append(r.patches)
-        if patch_list:
-            patches = np.concatenate(patch_list, axis=0)
-            unit = self.cfg.vision.merge_unit
-            pad_patches = _bucket(patches.shape[0], 256)
-            pad_patches = ((pad_patches + unit - 1) // unit) * unit
-            prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
-            vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
-
-        video_grid_thw = np.array(grids, np.int64) if grids else None
-        pos_ids, _ = get_rope_index(
-            self.cfg,
-            ids,
-            video_grid_thw=video_grid_thw,
-            second_per_grid_ts=spgs if spgs else None,
-            attention_mask=mask[:, :S],
+        ids, mask, pos_ids, start_pos, vis, S, max_len = self._pack(
+            reqs, extra_len=sp.max_new_tokens
         )
-        start_pos = pos_ids.max(axis=(0, 2)) + 1  # (B,)
-
+        first_logits, cache = self._prefill(ids, mask, pos_ids, vis, S, max_len)
         rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
-        tokens = prefill_and_decode(
-            self.params,
-            self.cfg,
-            jnp.asarray(ids),
-            jnp.asarray(pos_ids),
-            jnp.asarray(mask),
-            vis,
-            jnp.asarray(start_pos),
-            S,
-            sp,
-            rng,
+        tokens = decode_loop(
+            self.params, self.cfg, cache, first_logits,
+            jnp.asarray(start_pos), jnp.asarray(mask), sp, rng,
         )
         tokens = np.asarray(tokens)
 
         out = []
         stop_set = set(sp.stop_token_ids)
-        for i in range(B):
+        for i in range(len(reqs)):
             row = []
             for tok in tokens[i]:
                 t = int(tok)
@@ -284,3 +306,12 @@ class Engine:
                 row.append(t)
             out.append(row)
         return out
+
+    # ------------------------------------------------------------------
+    def last_token_logits(self, requests: Sequence[Request]) -> np.ndarray:
+        """(B, V) fp32 logits at each prompt's last position — the prob-based
+        MCQ path (reference evaluate.py:104-122)."""
+        reqs = list(requests)
+        ids, mask, pos_ids, _, vis, S, max_len = self._pack(reqs, extra_len=0)
+        logits, _ = self._prefill(ids, mask, pos_ids, vis, S, max_len)
+        return np.asarray(logits)
