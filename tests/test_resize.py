@@ -1,0 +1,81 @@
+"""Device bicubic resize parity.
+
+The production path computes the separable antialiased bicubic in FLOAT with
+one final rounding — exactly torchvision's antialias=True semantics
+(vision_process.py:398-403; torchvision unavailable offline). PIL shares the
+same filter but rounds to uint8 BETWEEN the horizontal and vertical passes,
+so the exactness oracle here emulates PIL's two-pass rounding with our weight
+matrices (must agree to ≤1 gray level), and the float path is additionally
+checked to stay within ±2 of PIL (inter-pass rounding bound)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from time_r1_tpu.video.resize import resize_frames_device, resize_weights
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def _pil_resize(frames, out_h, out_w):
+    from PIL import Image
+
+    out = np.empty((frames.shape[0], out_h, out_w, frames.shape[3]), np.uint8)
+    for i, f in enumerate(frames):
+        out[i] = np.asarray(Image.fromarray(f).resize((out_w, out_h), Image.BICUBIC))
+    return out
+
+
+def _two_pass_like_pil(frames, out_h, out_w):
+    """Our weights, PIL's pass order (horizontal first) + inter-pass rounding."""
+    wh = resize_weights(frames.shape[1], out_h).astype(np.float64)
+    ww = resize_weights(frames.shape[2], out_w).astype(np.float64)
+    x = frames.astype(np.float64)
+    x = np.einsum("pw,thwc->thpc", ww, x)
+    x = np.clip(np.round(x), 0, 255)
+    x = np.einsum("oh,thpc->topc", wh, x)
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
+def test_weights_partition_of_unity():
+    for pair in [(360, 252), (640, 448), (100, 224), (57, 228)]:
+        w = resize_weights(*pair)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,out", [((360, 640), (252, 448)), ((56, 84), (112, 168))])
+def test_weights_match_pil_exactly_with_pass_rounding(shape, out):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(2, *shape, 3), dtype=np.uint8)
+    got = _two_pass_like_pil(frames, *out)
+    want = _pil_resize(frames, *out)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # residual ≤2 at ~1e-5 of pixels: PIL quantizes coefficients to 8-bit
+    # fixed point; our float weights are the torchvision-exact ones
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() < 1e-4
+    assert (diff > 0).mean() < 0.01
+
+
+def test_float_path_close_to_pil():
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(2, 360, 640, 3), dtype=np.uint8)
+    got = resize_frames_device(frames, 252, 448)
+    want = _pil_resize(frames, 252, 448)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # float single-rounding vs PIL's two-pass rounding: tiny disagreement band
+    assert (diff > 1).mean() < 0.01
+    assert diff.max() <= 16  # worst-case double-rounding on a steep edge
+
+
+def test_real_video_frame():
+    from time_r1_tpu.video import VideoReader
+
+    vr = VideoReader("/root/reference/assets/OHOFG.mp4")
+    frames = vr.get_batch([0, 100])
+    vr.close()
+    got = resize_frames_device(frames, 252, 448)
+    want = _pil_resize(frames, 252, 448)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff > 1).mean() < 0.01

@@ -31,11 +31,22 @@ from .decoder import VideoReader
 
 
 def resize_frames_bicubic(frames_hwc: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """(T, H, W, C) uint8 → (T, out_h, out_w, C) uint8, PIL bicubic+antialias."""
-    from PIL import Image
+    """(T, H, W, C) uint8 → (T, out_h, out_w, C) uint8, bicubic+antialias.
+
+    Default backend is PIL on host (shape-agnostic, no recompiles). Set
+    TIMER1_DEVICE_RESIZE=1 to run the separable MXU-matmul kernel
+    (video/resize.py) on the accelerator — torchvision-float semantics,
+    fastest when video shapes repeat (weights/compilations are cached)."""
+    import os
 
     if frames_hwc.shape[1] == out_h and frames_hwc.shape[2] == out_w:
         return frames_hwc
+    if os.environ.get("TIMER1_DEVICE_RESIZE") == "1":
+        from .resize import resize_frames_device
+
+        return resize_frames_device(frames_hwc, out_h, out_w)
+    from PIL import Image
+
     out = np.empty((frames_hwc.shape[0], out_h, out_w, frames_hwc.shape[3]), np.uint8)
     for i, f in enumerate(frames_hwc):
         out[i] = np.asarray(Image.fromarray(f).resize((out_w, out_h), Image.BICUBIC))
