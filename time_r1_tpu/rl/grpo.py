@@ -181,12 +181,14 @@ def grpo_loss(
     return loss, metrics
 
 
-def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer):
+def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_state_sharding=None):
     """Build the jitted (pjit-compatible) train step:
     (params, opt_state, batch) → (params, opt_state, loss, metrics).
 
     fix_vit: gradients for the vision tower (except merger) are zeroed
-    (timer1_trainer.py:272-288 capability)."""
+    (timer1_trainer.py:272-288 capability).
+    opt_state_sharding: optional sharding pytree pinning the optimizer state
+    (e.g. to pinned host memory — ZeRO-offload capability parity)."""
 
     def zero_frozen(tree):
         """fix_vit: ViT patch-embed + blocks frozen; merger stays trainable
@@ -199,7 +201,6 @@ def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer):
         vis["blocks"] = jax.tree.map(jnp.zeros_like, vis["blocks"])
         return {**tree, "visual": vis}
 
-    @jax.jit
     def train_step(params, opt_state, batch: GRPOBatch):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: grpo_loss(p, cfg, hp, batch), has_aux=True
@@ -214,4 +215,10 @@ def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer):
         metrics = dict(metrics, grad_norm=gnorm, loss=loss)
         return params, opt_state, loss, metrics
 
-    return train_step
+    # NOTE: params/opt_state donation is intentionally off — callers (tests,
+    # ref-weights trick) may hold references to the previous params pytree.
+    # The trainer re-binds its references each step, so peak memory is
+    # bounded by XLA's buffer reuse regardless.
+    if opt_state_sharding is not None:
+        return jax.jit(train_step, out_shardings=(None, opt_state_sharding, None, None))
+    return jax.jit(train_step)

@@ -104,6 +104,9 @@ class TrainConfig:
     resume_from_checkpoint: Optional[str] = None
     report_to: str = "tensorboard"
     logging_dir: Optional[str] = None
+    # ZeRO-offload capability parity (scripts/zero3_offload.json): keep Adam
+    # moments in pinned host memory; XLA streams them per step
+    offload_optimizer: bool = False
 
 
 def make_conversation_video(example: dict, prompt_type: str, total_pixels: int, min_pixels: int):
@@ -178,7 +181,16 @@ class GRPOTrainer:
                 self.optimizer, every_k_schedule=config.gradient_accumulation_steps
             )
         self.opt_state = self.optimizer.init(self.params)
-        self._train_step = make_train_step(cfg, self.hp, self.optimizer)
+        opt_sharding = None
+        if config.offload_optimizer:
+            try:
+                dev = jax.devices()[0]
+                host = jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
+                self.opt_state = jax.tree.map(lambda x: jax.device_put(x, host), self.opt_state)
+                opt_sharding = jax.tree.map(lambda _: host, self.opt_state)
+            except Exception as e:
+                print(f"[trainer] optimizer host-offload unavailable on this backend: {e}")
+        self._train_step = make_train_step(cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding)
         self._metrics: dict[str, list] = {}
         self.global_step = 0
         self._rng = np.random.default_rng(config.seed)
