@@ -1,0 +1,258 @@
+"""Continuous-batching inference engine (N2: vLLM scheduler capability).
+
+The bucket-batch `Engine` pads every request to the longest prompt and waits
+for the slowest row. This engine instead keeps a fixed pool of SLOTS over a
+shared static KV cache and schedules at iteration level, like vLLM:
+
+- a host-side queue feeds free slots; each admission runs a (chunked) prefill
+  into a per-request cache and scatters it into the slot's rows;
+- decode runs in SEGMENTS of K steps fully on device (one jitted program,
+  per-slot lengths/positions/done handled with scatter writes and per-row
+  causal bias), then syncs to the host, retires finished slots and admits
+  new requests — iteration-level scheduling with K-step granularity, the
+  TPU-friendly version of continuous batching (per-step host sync would pay
+  a tunnel round trip per token);
+- slot recycling bounds HBM: pool = (L, max_slots, max_len, Hkv, D).
+
+Same request/response semantics as Engine.generate (stop ids, include-stop).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen25vl import KVCache, Qwen25VLConfig
+from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
+from ..ops.attention import NEG_INF, mha_reference
+from .engine import Engine, Request, sample_tokens
+from .params import SamplingParams
+
+
+class SlotState(NamedTuple):
+    k: jnp.ndarray  # (L, slots, max_len, Hkv, hd)
+    v: jnp.ndarray
+    lengths: jnp.ndarray  # (slots,) written kv length per slot
+    last: jnp.ndarray  # (slots,) last token
+    start_pos: jnp.ndarray  # (slots,) rope position of next generated token
+    done: jnp.ndarray  # (slots,) bool
+    steps: jnp.ndarray  # (slots,) generated count
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "segment", "sp"), donate_argnums=(1,))
+def decode_segment(
+    params,
+    state: SlotState,
+    cfg: Qwen25VLConfig,
+    segment: int,
+    sp: SamplingParams,
+    rng: jnp.ndarray,
+    active: jnp.ndarray,  # (slots,) bool — occupied slots
+    max_steps: jnp.ndarray,  # (slots,) per-slot remaining budget
+):
+    """Run up to `segment` decode steps for all active slots on device.
+    Returns (state, tokens (slots, segment) — pad_id where inactive/done)."""
+    tcfg = cfg.text
+    nh, nkv, hd = tcfg.num_attention_heads, tcfg.num_key_value_heads, tcfg.head_dim
+    eps = tcfg.rms_norm_eps
+    slots = state.lengths.shape[0]
+    max_len = state.k.shape[2]
+    stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
+    layers = params["text"]["layers"]
+
+    def one_step(carry, _):
+        state, rng = carry
+        live = active & ~state.done & (state.steps < max_steps)
+        pos = state.start_pos + state.steps  # (slots,)
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, slots, 1))
+        cos, sin = mrope_cos_sin(tcfg, pos3)
+        cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
+
+        x = jnp.take(params["text"]["embed_tokens"]["embedding"], state.last[:, None], axis=0)
+        kv_pos = jnp.arange(max_len)[None, :]
+        bias = jnp.where(kv_pos <= state.lengths[:, None], 0.0, NEG_INF).astype(jnp.float32)
+        bias = bias[:, None, None, :]  # (slots, 1, 1, max_len)
+
+        def layer(carry2, scanned):
+            x, ck, cv, li = carry2
+            lp = scanned
+            h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
+            q = (h @ lp["self_attn"]["q_w"] + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
+            k = (h @ lp["self_attn"]["k_w"] + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
+            v = (h @ lp["self_attn"]["v_w"] + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
+            qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+            q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
+            k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
+            # per-slot scatter write at column lengths[slot]
+            ck = ck.at[li, jnp.arange(slots), state.lengths].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[li, jnp.arange(slots), state.lengths].set(v[:, 0].astype(cv.dtype))
+            k_all = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
+            attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
+            x = x + attn.reshape(slots, 1, nh * hd) @ lp["self_attn"]["o_w"]
+            h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
+            x = x + (jax.nn.silu(h @ lp["mlp"]["gate_w"]) * (h @ lp["mlp"]["up_w"])) @ lp["mlp"]["down_w"]
+            return (x, ck, cv, li + 1), None
+
+        (x, ck, cv, _), _ = jax.lax.scan(
+            layer, (x, state.k, state.v, jnp.zeros((), jnp.int32)), layers
+        )
+        x = _rms_norm(x, params["text"]["norm"]["scale"], eps)
+        logits = lm_logits(params["text"], tcfg, x)[:, 0]
+        rng, sub = jax.random.split(rng)
+        nxt = sample_tokens(logits, sub, sp)
+        nxt = jnp.where(live, nxt, cfg.pad_token_id)
+        done = state.done | (live & jnp.isin(nxt, stop_ids))
+        new_state = SlotState(
+            k=ck,
+            v=cv,
+            lengths=state.lengths + live.astype(jnp.int32),
+            last=jnp.where(live, nxt, state.last),
+            start_pos=state.start_pos,
+            done=done,
+            steps=state.steps + live.astype(jnp.int32),
+        )
+        return (new_state, rng), nxt
+
+    (state, _), toks = jax.lax.scan(one_step, (state, rng), None, length=segment)
+    return state, toks.T  # (slots, segment)
+
+
+class ContinuousEngine:
+    """Iteration-level scheduler over a slot pool (vLLM-style)."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: Qwen25VLConfig,
+        max_slots: int = 8,
+        max_len: int = 4096,
+        segment: int = 16,
+        dtype=jnp.bfloat16,
+        prefill_chunk_tokens: int = 8192,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.segment = segment
+        self.dtype = dtype
+        # the bucket engine does per-request prefill (B=1) for admissions
+        self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
+
+    # ------------------------------------------------------------------
+    def _admit(self, state: SlotState, slot: int, req: Request, sp: SamplingParams, req_idx: int = 0):
+        """Prefill one request and scatter its KV into `slot`. Returns
+        (state, first_token)."""
+        eng = self._prefill_engine
+        eng.params = self.params
+        ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack([req], extra_len=0)
+        first_logits, cache = eng._prefill(ids, mask, pos_ids, vis, S, S)
+        rng = jax.random.fold_in(jax.random.PRNGKey(sp.seed if sp.seed is not None else 0), req_idx)
+        first = int(np.asarray(sample_tokens(jnp.asarray(first_logits), rng, sp))[0])
+
+        L_prompt = len(req.input_ids)
+        lead = S - L_prompt  # left padding in the per-request cache
+        k = jax.lax.dynamic_slice_in_dim(cache.k[:, 0], lead, L_prompt, axis=1)
+        v = jax.lax.dynamic_slice_in_dim(cache.v[:, 0], lead, L_prompt, axis=1)
+        new_k = jax.lax.dynamic_update_slice(
+            state.k, k[:, None].astype(state.k.dtype), (0, slot, 0, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            state.v, v[:, None].astype(state.v.dtype), (0, slot, 0, 0, 0)
+        )
+        state = state._replace(
+            k=new_k,
+            v=new_v,
+            lengths=state.lengths.at[slot].set(L_prompt),
+            last=state.last.at[slot].set(first),
+            start_pos=state.start_pos.at[slot].set(int(start_pos[0])),
+            done=state.done.at[slot].set(False),
+            steps=state.steps.at[slot].set(0),
+        )
+        return state, first
+
+    # ------------------------------------------------------------------
+    def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
+        """Schedule all requests through the slot pool; results in input order."""
+        G = sp.num_return_sequences
+        queue = deque((i, r) for i, r in enumerate([r for r in requests for _ in range(G)]))
+        n_total = len(queue)
+        results: dict[int, list[int]] = {}
+        stop_set = set(sp.stop_token_ids)
+
+        tcfg = self.cfg.text
+        shape = (tcfg.num_hidden_layers, self.max_slots, self.max_len, tcfg.num_key_value_heads, tcfg.head_dim)
+        state = SlotState(
+            k=jnp.zeros(shape, self.dtype),
+            v=jnp.zeros(shape, self.dtype),
+            lengths=jnp.zeros((self.max_slots,), jnp.int32),
+            last=jnp.zeros((self.max_slots,), jnp.int32),
+            start_pos=jnp.zeros((self.max_slots,), jnp.int32),
+            done=jnp.ones((self.max_slots,), jnp.bool_),
+            steps=jnp.zeros((self.max_slots,), jnp.int32),
+        )
+        slot_req = [None] * self.max_slots  # request index per slot
+        slot_tokens: list[list[int]] = [[] for _ in range(self.max_slots)]
+        rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
+
+        while len(results) < n_total:
+            # admit into free slots
+            for slot in range(self.max_slots):
+                if slot_req[slot] is None and queue:
+                    idx, req = queue.popleft()
+                    if len(req.input_ids) + sp.max_new_tokens > self.max_len:
+                        raise ValueError(
+                            f"request length {len(req.input_ids)}+{sp.max_new_tokens} exceeds max_len {self.max_len}"
+                        )
+                    state, first = self._admit(state, slot, req, sp, req_idx=idx)
+                    slot_req[slot] = idx
+                    slot_tokens[slot] = [first]
+                    if first in stop_set:
+                        # finished at the very first token
+                        results[idx] = [first] if sp.include_stop_token else []
+                        slot_req[slot] = None
+                        state = state._replace(done=state.done.at[slot].set(True))
+
+            active = jnp.asarray([slot_req[s] is not None for s in range(self.max_slots)])
+            if not bool(active.any()):
+                continue
+            max_steps = jnp.asarray(
+                [sp.max_new_tokens - 1 if slot_req[s] is not None else 0 for s in range(self.max_slots)],
+                jnp.int32,
+            )
+            rng, sub = jax.random.split(rng)
+            state, toks = decode_segment(
+                self.params, state, self.cfg, self.segment, sp, sub, active, max_steps
+            )
+            toks = np.asarray(toks)
+            done_now = np.asarray(state.done)
+            steps_now = np.asarray(state.steps)
+            for slot in range(self.max_slots):
+                idx = slot_req[slot]
+                if idx is None:
+                    continue
+                for t in toks[slot]:
+                    t = int(t)
+                    if t == self.cfg.pad_token_id and done_now[slot]:
+                        break
+                    slot_tokens[slot].append(t)
+                    if t in stop_set:
+                        break
+                finished = done_now[slot] or len(slot_tokens[slot]) >= sp.max_new_tokens
+                if finished:
+                    row = []
+                    for t in slot_tokens[slot]:
+                        if t in stop_set:
+                            if sp.include_stop_token:
+                                row.append(t)
+                            break
+                        row.append(t)
+                    results[idx] = row[: sp.max_new_tokens]
+                    slot_req[slot] = None
+        return [results[i] for i in range(n_total)]
