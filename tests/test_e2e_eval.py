@@ -117,6 +117,31 @@ def test_evaluate_cli_end_to_end_with_resume(tiny_setup, annotations, tmp_path, 
     assert set(scores.keys()) == {"mIoU", 0.3, 0.5, 0.7, "avg"}
 
 
+def test_evaluate_cli_continuous_batching(tiny_setup, annotations, tmp_path):
+    from time_r1_tpu.cli import evaluate as evaluate_cli
+
+    engine, processor = tiny_setup
+    out_dir = str(tmp_path / "eval_cb")
+    args = evaluate_cli.get_args(
+        [
+            "--model_base", "unused",
+            "--datasets", "tvgbench_filter",
+            "--split", annotations,
+            "--output_dir", out_dir,
+            "--use_r1_thinking_prompt",
+            "--max_new_tokens", "6",
+            "--total_pixels", str(8 * 28 * 28),
+            "--min_pixels", str(4 * 28 * 28),
+            "--use_continuous_batching",
+            "--max_model_len", "1024",
+            "--batch_size", "2",
+        ]
+    )
+    out_file = evaluate_cli.main(args, engine=engine, processor=processor)
+    recs = [json.loads(l) for l in open(out_file)]
+    assert {r["qid"] for r in recs} == {"tvg_0", "tvg_1"}
+
+
 def test_calc_difficulty_merge_flow(tiny_setup, annotations, tmp_path):
     """SF-loop steps 3-5: self-eval jsonl → difficulty merge → filter."""
     from time_r1_tpu.cli import evaluate as evaluate_cli

@@ -1,0 +1,66 @@
+"""Sharded GRPO trainer on the virtual 8-device CPU mesh: the full trainer
+step (rollout + rewards + sharded update) must run with FSDP/TP params and
+dp-sharded rollout rows (SURVEY §7 distributed test strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_model_parity import CFG
+from tiny_tokenizer import TinyTokenizer
+
+VIDEO = "/root/reference/assets/OHOFG.mp4"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+def test_trainer_step_on_mesh(tmp_path):
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.parallel import make_mesh
+    from time_r1_tpu.rl import GRPOTrainer, TrainConfig
+    from time_r1_tpu.utils.rewards import REWARD_FUNCS_REGISTRY
+    from time_r1_tpu.video.pipeline import video_loader
+
+    mesh = make_mesh(model_parallel=2)
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
+    )
+    config = TrainConfig(
+        output_dir=str(tmp_path),
+        num_generations=8,  # divisible by data axis (4)
+        max_completion_length=4,
+        temperature=1.0,
+        beta=0.0,
+        gradient_accumulation_steps=1,
+        total_pixels=8 * 28 * 28,
+        min_pixels=4 * 28 * 28,
+        report_to="none",
+    )
+    with jax.set_mesh(mesh):
+        trainer = GRPOTrainer(
+            params,
+            CFG,
+            processor,
+            reward_funcs=[REWARD_FUNCS_REGISTRY["format"]],
+            config=config,
+            video_loader=video_loader,
+            dtype=jnp.float32,
+            mesh=mesh,
+        )
+        # params actually sharded over the mesh
+        qw = trainer.params["text"]["layers"]["self_attn"]["q_w"]
+        assert len(qw.sharding.device_set) == 8
+        example = {
+            "task_type": "tg",
+            "problem": "person sitting down in a chair",
+            "solution": (1.0, 7.5),
+            "video_path": VIDEO,
+            "durations": 35.04,
+            "video_start": 0.0,
+            "video_end": 3.0,
+        }
+        info = trainer.step(example)
+    assert np.isfinite(info["loss"])

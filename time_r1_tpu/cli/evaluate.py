@@ -53,6 +53,12 @@ def get_args(argv=None):
     p.add_argument("--prompt_type", type=str, default="r1")
     p.add_argument("--use_nothink", action="store_true")
     p.add_argument("--use_prepared_video", action="store_true")
+    p.add_argument(
+        "--use_continuous_batching",
+        action="store_true",
+        help="slot-pool scheduler instead of bucket batching (vLLM-like)",
+    )
+    p.add_argument("--max_model_len", type=int, default=0, help="slot length for continuous batching (0 → auto)")
     args = p.parse_args(argv)
 
     if any(d in args.datasets for d in ("mvbench", "videomme", "tempcompass", "egoschema")):
@@ -84,7 +90,20 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
         params, cfg = load_checkpoint(args.model_base)
         engine = Engine(params, cfg)
         processor = Qwen25VLProcessor.from_pretrained(args.model_base)
-    text_engine = TextEngine(engine, processor)
+    if getattr(args, "use_continuous_batching", False):
+        from ..sampler.continuous import ContinuousEngine
+
+        # max_model_len parity: total_pixels//28//28 + 4096 + max_new_tokens
+        # (vllm_infer.py:52)
+        max_len = args.max_model_len or (
+            args.total_pixels // 28 // 28 + 4096 + args.max_new_tokens
+        )
+        gen_engine = ContinuousEngine(
+            engine.params, engine.cfg, max_slots=max(args.batch_size, 1), max_len=max_len
+        )
+    else:
+        gen_engine = engine
+    text_engine = TextEngine(gen_engine, processor)
 
     # mcq + train split → probability-based scoring over option letters with
     # the assistant-prefix answer prompt (reference evaluate.py:88,104-122)

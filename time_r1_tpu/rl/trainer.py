@@ -147,6 +147,7 @@ class GRPOTrainer:
         video_loader: Optional[Callable] = None,
         ref_params: Optional[dict] = None,
         dtype=jnp.bfloat16,
+        mesh=None,  # jax.sharding.Mesh → FSDP/TP sharded training (N3/N4)
     ):
         self.cfg = cfg
         self.processor = processor
@@ -155,6 +156,13 @@ class GRPOTrainer:
         self.c = config
         self.video_loader = video_loader
         self.dtype = dtype
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+            if ref_params is not None:
+                ref_params = shard_params(ref_params, mesh)
         self.params = params
         self.ref_params = ref_params if config.beta != 0.0 else None
         self.engine = Engine(params, cfg, dtype=dtype)
@@ -303,6 +311,8 @@ class GRPOTrainer:
             second_per_grid_t=spg,
             dtype=self.dtype,
         )
+        if self.mesh is not None:
+            batch = self._shard_batch(batch)
         if self.ref_params is not None:
             with self.timers.phase("ref_logps"):
                 ref_logps = compute_ref_logps(self.ref_params, self.cfg, self.hp, batch)
@@ -316,6 +326,25 @@ class GRPOTrainer:
             self._log_metric(k, float(v))
         self.global_step += 1
         return {"loss": float(loss), "reward": float(rewards.mean())}
+
+    def _shard_batch(self, batch):
+        """Shard the G rollout rows over the data axis (dp over rollouts)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        if batch.input_ids.shape[0] % self.mesh.shape[DATA_AXIS] != 0:
+            return batch  # G not divisible by the data axis: replicate
+        rows = NamedSharding(self.mesh, P(DATA_AXIS))
+        return batch._replace(
+            input_ids=jax.device_put(batch.input_ids, rows),
+            attention_mask=jax.device_put(batch.attention_mask, rows),
+            completion_mask=jax.device_put(batch.completion_mask, rows),
+            advantages=jax.device_put(batch.advantages, rows),
+            position_ids=jax.device_put(
+                batch.position_ids, NamedSharding(self.mesh, P(None, DATA_AXIS))
+            ),
+        )
 
     def _strip_stop(self, comp):
         # decode for rewards without the stop token (skip_special_tokens parity)
