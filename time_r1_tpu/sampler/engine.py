@@ -279,8 +279,33 @@ class Engine:
     # ------------------------------------------------------------------
     def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
         """Generate completions for a batch of requests; returns token lists
-        (stop token included when sp.include_stop_token)."""
+        (stop token included when sp.include_stop_token).
+
+        G-way grouped rollouts from a single prompt (the GRPO shape) prefill
+        ONCE and broadcast the KV cache to G rows — the reference pays the
+        full prefill (and ZeRO-3 gather) per generate call instead."""
         G = sp.num_return_sequences
+        if G > 1 and len(requests) == 1:
+            ids1, mask1, pos1, start1, vis, S, max_len = self._pack(
+                list(requests), extra_len=sp.max_new_tokens
+            )
+            fl1, cache1 = self._prefill(ids1, mask1, pos1, vis, S, max_len)
+            first_logits = jnp.broadcast_to(fl1, (G,) + fl1.shape[1:])
+            cache = KVCache(
+                k=jnp.broadcast_to(cache1.k, cache1.k.shape[:1] + (G,) + cache1.k.shape[2:]).copy(),
+                v=jnp.broadcast_to(cache1.v, cache1.v.shape[:1] + (G,) + cache1.v.shape[2:]).copy(),
+                length=cache1.length,
+            )
+            reqs = [requests[0]] * G
+            mask = np.broadcast_to(mask1, (G,) + mask1.shape[1:])
+            start_pos = np.broadcast_to(start1, (G,))
+            rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
+            tokens = decode_loop(
+                self.params, self.cfg, cache, first_logits,
+                jnp.asarray(start_pos), jnp.asarray(mask), sp, rng,
+            )
+            return self._postprocess(np.asarray(tokens), len(reqs), sp)
+
         reqs = [r for r in requests for _ in range(G)]
         ids, mask, pos_ids, start_pos, vis, S, max_len = self._pack(
             reqs, extra_len=sp.max_new_tokens
@@ -291,11 +316,12 @@ class Engine:
             self.params, self.cfg, cache, first_logits,
             jnp.asarray(start_pos), jnp.asarray(mask), sp, rng,
         )
-        tokens = np.asarray(tokens)
+        return self._postprocess(np.asarray(tokens), len(reqs), sp)
 
+    def _postprocess(self, tokens: np.ndarray, n: int, sp: SamplingParams) -> list[list[int]]:
         out = []
         stop_set = set(sp.stop_token_ids)
-        for i in range(len(reqs)):
+        for i in range(n):
             row = []
             for tok in tokens[i]:
                 t = int(tok)
