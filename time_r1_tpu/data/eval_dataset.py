@@ -182,14 +182,55 @@ class EvalDataset:
 
     def __iter__(self) -> Iterator[dict]:
         for itm in self.data:
-            yield self.build_item(itm)
+            try:
+                yield self.build_item(itm)
+            except Exception as e:
+                # decode-failure tolerance (§5.3 parity: the reference falls
+                # back to a second video backend; we skip and log — resumable
+                # shards mean the item can be retried later)
+                print(f"[eval] skipping {itm.get('qid')}: video load failed: {e}")
 
-    def iter_batches(self, batch_size: int) -> Iterator[List[dict]]:
-        batch: List[dict] = []
-        for item in self:
-            batch.append(item)
-            if len(batch) == batch_size:
+    def iter_batches(self, batch_size: int, prefetch: int = 2) -> Iterator[List[dict]]:
+        """Batched iteration with background-thread prefetch so host video
+        decode overlaps device compute (DataLoader num_workers/prefetch
+        capability, data/__init__.py:671-679)."""
+        import queue
+        import threading
+
+        def batches():
+            batch: List[dict] = []
+            for item in self:
+                batch.append(item)
+                if len(batch) == batch_size:
+                    yield batch
+                    batch = []
+            if batch:
                 yield batch
-                batch = []
-        if batch:
-            yield batch
+
+        if prefetch <= 0:
+            yield from batches()
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        SENTINEL = object()
+        errors = []
+
+        def producer():
+            try:
+                for b in batches():
+                    q.put(b)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is SENTINEL:
+                break
+            yield b
+        t.join()
+        if errors:
+            raise errors[0]

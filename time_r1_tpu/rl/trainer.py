@@ -378,3 +378,21 @@ class GRPOTrainer:
         save_params(path, self.params)
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"global_step": self.global_step}, f)
+        self.save_model_card(path)
+
+    def save_model_card(self, path: str):
+        """Draft model card (timer1_trainer.py:795-857 capability)."""
+        card = (
+            "# GRPO-trained Qwen2.5-VL (Time-R1 TPU)\n\n"
+            "Trained with Group Relative Policy Optimization "
+            "([DeepSeekMath](https://huggingface.co/papers/2402.03300)) on "
+            "temporal video grounding with verifiable tIoU/format rewards.\n\n"
+            f"- global_step: {self.global_step}\n"
+            f"- num_generations (G): {self.c.num_generations}\n"
+            f"- temperature: {self.c.temperature}\n"
+            f"- beta (KL): {self.c.beta}\n"
+            f"- loss: {'vanilla GRPO' if self.c.use_grpo else 'PPO-clip (eps=0.2)'}\n"
+            f"- reward_funcs: {[f.__name__ for f in self.reward_funcs]}\n"
+        )
+        with open(os.path.join(path, "README.md"), "w") as f:
+            f.write(card)
