@@ -26,7 +26,10 @@ class TinyTokenizer:
                     i += len(tok)
                     break
             else:
-                out.append(ord(s[i]) % 197 + 3)  # ids in [3, 199]
+                c = ord(s[i])
+                # printable ASCII maps invertibly to ids [3, 97]; everything
+                # else lands on id 98 ('?')
+                out.append(c - 32 + 3 if 32 <= c < 127 else 98)
                 i += 1
         return out
 
@@ -37,7 +40,9 @@ class TinyTokenizer:
             if t in self._rev:
                 if not skip_special_tokens:
                     parts.append(self._rev[t])
-            elif 3 <= t < 200:
-                parts.append(chr(t - 3 + 32) if t - 3 + 32 < 127 else "?")
-            # ids 0 (pad) and unknown: dropped
+            elif 3 <= t <= 97:
+                parts.append(chr(t - 3 + 32))
+            elif 98 <= t < 250:
+                parts.append("?")
+            # ids 0 (pad) and others: dropped
         return "".join(parts)

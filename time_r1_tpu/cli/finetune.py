@@ -11,7 +11,6 @@ Differences from cli/train.py, mirroring the reference:
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import random

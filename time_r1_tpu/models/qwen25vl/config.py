@@ -9,7 +9,7 @@ config.json keys so `from_hf_dict` can consume them directly.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import Optional, Sequence
+from typing import Optional
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,6 @@ Reference semantics (timer1_trainer.py:512-782, timer1_trainer_ft.py:537-857):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 

@@ -19,7 +19,7 @@ import json
 import math
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -27,11 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.processor import Qwen25VLProcessor, render_chat_template
+from ..models.processor import Qwen25VLProcessor
 from ..models.qwen25vl import Qwen25VLConfig
 from ..utils.rewards import METRIC_FUNCS_REGISTRY, REWARD_FUNCS_REGISTRY
 from ..sampler import Engine, Request, SamplingParams
-from .grpo import GRPOHyperParams, compute_group_advantages, compute_ref_logps, grpo_loss, make_train_step
+from .grpo import GRPOHyperParams, compute_group_advantages, compute_ref_logps, make_train_step
 from .rollout import build_grpo_batch
 
 SYSTEM_PROMPT = "You are a video analysis expert."

@@ -21,13 +21,13 @@ from __future__ import annotations
 
 import functools
 from collections import deque
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.qwen25vl import KVCache, Qwen25VLConfig
+from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
 from ..ops.attention import NEG_INF, mha_reference
 from .engine import Engine, Request, sample_tokens

@@ -6,7 +6,7 @@ include_stop_str_in_output=True, skip_special_tokens=False
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 

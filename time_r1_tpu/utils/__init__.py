@@ -1,5 +1,6 @@
-"""Pure-math host-side core: vision budgeting, rewards, parsing, scoring,
-curriculum sampling. No jax/torch imports at this layer."""
+"""Pure-math host-side core (vision budgeting, rewards, parsing, scoring,
+curriculum sampling — no jax/torch imports in those modules) plus shared
+infrastructure (checkpointing, profiling, logging sinks, imported lazily)."""
 
 from .metrics import calc_difficulty, calc_score, compute_IoU
 from .parsing import extract_answer, extract_answer_force, mcq_is_correct

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from typing import Dict, Optional
+from typing import Dict
 
 
 class TensorBoardSink:
