@@ -68,6 +68,9 @@ def get_args(argv=None):
     p.add_argument("--reward_funcs", nargs="+", default=["iou", "format"])
     p.add_argument("--max_pixels", type=int, default=12845056)
     p.add_argument("--min_pixels", type=int, default=3136)
+    # per-video budgets used by make_conversation_video (timer1_trainer.py:505-506)
+    p.add_argument("--total_pixels", type=int, default=3584 * 28 * 28)
+    p.add_argument("--video_min_pixels", type=int, default=16 * 28 * 28)
     p.add_argument("--max_prompt_length", type=int, default=8192)
     p.add_argument("--max_completion_length", type=int, default=200)
     p.add_argument("--num_generations", type=int, default=8)
@@ -137,6 +140,8 @@ def main(args, trainer: GRPOTrainer = None):
             seed=args.data_seed,
             is_early_stopping=args.is_early_stopping,
             resume_from_checkpoint=args.resume_from_checkpoint,
+            total_pixels=args.total_pixels,
+            min_pixels=args.video_min_pixels,
         )
         trainer = GRPOTrainer(
             params,

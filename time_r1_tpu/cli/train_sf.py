@@ -68,6 +68,7 @@ def main(args):
                 "--num_train_epochs", "5" if round_idx == 0 else "1",
                 "--is_early_stopping", "true",
                 "--save_strategy", "epoch",
+                "--total_pixels", str(args.total_pixels),
             ]
         )
         train_cli.main(train_args)

@@ -15,6 +15,7 @@ import json
 import os
 from typing import Callable, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,11 +153,44 @@ def convert_state_dict(sd: Dict, cfg: Qwen25VLConfig, dtype=jnp.bfloat16) -> dic
 
 
 def load_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[dict, Qwen25VLConfig]:
-    """Load an HF-format Qwen2.5-VL checkpoint directory → (params, config)."""
+    """Load a Qwen2.5-VL checkpoint directory → (params, config).
+
+    Accepts either format:
+    - HF: config.json + *.safetensors (the published checkpoints);
+    - native: params/ (orbax) + timer1_config.json (what the trainer writes —
+      the SF loop reloads these between rounds, train_rl_SF.sh:77-85 parity).
+    """
+    native_cfg = os.path.join(path, "timer1_config.json")
+    if os.path.exists(native_cfg) and os.path.isdir(os.path.join(path, "params")):
+        from ...utils.checkpoint import load_params  # circular-safe: lazy
+
+        with open(native_cfg) as f:
+            cfg = config_from_plain_dict(json.load(f))
+        params = load_params(path)
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        return params, cfg
     with open(os.path.join(path, "config.json")) as f:
         cfg = Qwen25VLConfig.from_hf_dict(json.load(f))
     sd = load_safetensors_dir(path)
     return convert_state_dict(sd, cfg, dtype), cfg
+
+
+def config_to_plain_dict(cfg: Qwen25VLConfig) -> dict:
+    import dataclasses
+
+    return dataclasses.asdict(cfg)
+
+
+def config_from_plain_dict(d: dict) -> Qwen25VLConfig:
+    from .config import TextConfig, VisionConfig
+
+    d = dict(d)
+    vd = dict(d.pop("vision"))
+    vd["fullatt_block_indexes"] = tuple(vd["fullatt_block_indexes"])
+    td = dict(d.pop("text"))
+    td["mrope_section"] = tuple(td["mrope_section"])
+    d["stop_token_ids"] = tuple(d.get("stop_token_ids", (151645, 151643)))
+    return Qwen25VLConfig(vision=VisionConfig(**vd), text=TextConfig(**td), **d)
 
 
 def export_state_dict(params: dict, cfg: Qwen25VLConfig) -> Dict[str, np.ndarray]:

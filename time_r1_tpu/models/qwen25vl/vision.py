@@ -270,9 +270,20 @@ def vision_forward(
             qf = jnp.take(q, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
             kf = jnp.take(k, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
             vf = jnp.take(v, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
+            # process slice blocks in groups: full batching would materialize
+            # (n_slices, heads, S, S) softmax buffers; one-by-one serializes.
+            group = 1
+            for c in (8, 4, 2):
+                if n_slices % c == 0:
+                    group = c
+                    break
+            qg = qf.reshape(n_slices // group, group, max_slice, nh, hd)
+            kg = kf.reshape(n_slices // group, group, max_slice, nh, hd)
+            vg = vf.reshape(n_slices // group, group, max_slice, nh, hd)
+            bg = full_key_bias.reshape(n_slices // group, group, 1, 1, max_slice)
             out = jax.lax.map(
                 lambda args: _block_attention(args[0], args[1], args[2], args[3], scale),
-                (qf, kf, vf, full_key_bias),
+                (qg, kg, vg, bg),
             )
             return jnp.take(out.reshape(-1, nh, hd), prep_full_inverse, axis=0)
 

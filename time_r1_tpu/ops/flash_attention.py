@@ -25,8 +25,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 0  # 0 → auto-select (largest aligned divisor)
+DEFAULT_BLOCK_K = 0
+
+
+def _pick_block(size: int, candidates: tuple) -> int:
+    """Largest candidate dividing `size` (TPU sweep: bigger kv blocks win —
+    (256, 896) beat (128, 128) by 1.4× at S=1792 on v5e)."""
+    for c in candidates:
+        if size % c == 0:
+            return c
+    return 128
 
 
 def _interpret() -> bool:
@@ -250,16 +259,28 @@ def flash_attention(
 
     `q_offset`: global position of q row 0 (for cached prefixes); must be a
     multiple of block_q. Sq/Skv must be multiples of the block sizes (pad
-    inputs and mask pads via kv_bias)."""
+    inputs and mask pads via kv_bias). block_q/block_k = 0 → auto-select."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    block_q, block_k = _resolve_blocks(q, k, q_offset, block_q, block_k)
     out, _ = _flash_fwd(q, k, v, kv_bias, causal, scale, q_offset, block_q, block_k)
     return out
+
+
+def _resolve_blocks(q, k, q_offset, block_q, block_k):
+    if not block_q:
+        block_q = _pick_block(q.shape[1], (256, 128))
+        while q_offset % block_q:
+            block_q //= 2
+    if not block_k:
+        block_k = _pick_block(k.shape[1], (896, 768, 640, 512, 384, 256, 128))
+    return block_q, block_k
 
 
 def _flash_vjp_fwd(q, k, v, kv_bias, causal, scale, q_offset, block_q, block_k):
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    block_q, block_k = _resolve_blocks(q, k, q_offset, block_q, block_k)
     out, lse = _flash_fwd(q, k, v, kv_bias, causal, scale, q_offset, block_q, block_k)
     return out, (q, k, v, kv_bias, out, lse)
 
@@ -268,6 +289,7 @@ def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
     q, k, v, kv_bias, out, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    block_q, block_k = _resolve_blocks(q, k, q_offset, block_q, block_k)
     B, Sq, H, D = q.shape
     Skv, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv

@@ -378,6 +378,10 @@ class GRPOTrainer:
         save_params(path, self.params)
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"global_step": self.global_step}, f)
+        from ..models.qwen25vl.convert import config_to_plain_dict
+
+        with open(os.path.join(path, "timer1_config.json"), "w") as f:
+            json.dump(config_to_plain_dict(self.cfg), f)
         self.save_model_card(path)
 
     def save_model_card(self, path: str):
