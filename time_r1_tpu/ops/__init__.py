@@ -1,3 +1,4 @@
-from .attention import attention, causal_mask_bias, mha_reference, segment_mask_bias
+from .attention import NEG_INF, mha_reference
+from .flash_attention import flash_attention
 
-__all__ = ["attention", "causal_mask_bias", "mha_reference", "segment_mask_bias"]
+__all__ = ["NEG_INF", "mha_reference", "flash_attention"]

@@ -366,15 +366,3 @@ def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
 
 
 flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
-
-
-def flash_attention_biased(q, k, v, bias=None, scale=None):
-    """Adapter for ops.attention.attention(use_flash=True): converts a
-    (B, 1, Sq, Skv) additive bias into kv-side padding + causal flag when the
-    pattern allows, else falls back to the reference implementation."""
-    from .attention import mha_reference
-
-    if bias is None:
-        kv_bias = jnp.zeros((q.shape[0], k.shape[1]), jnp.float32)
-        return flash_attention(q, k, v, kv_bias, causal=False, scale=scale)
-    return mha_reference(q, k, v, bias=bias, scale=scale)
