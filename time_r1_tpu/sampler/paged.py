@@ -1,0 +1,322 @@
+"""Paged KV cache pool (N2: vLLM PagedAttention memory model).
+
+The slot cache in sampler/continuous.py reserves max_len rows per slot; this
+pool instead shares fixed-size PAGES across slots, so HBM is bounded by the
+TOTAL tokens resident rather than slots × max_len — the property that lets
+vLLM pack heterogeneous-length sequences (e.g. VideoMME long prompts next to
+short Charades ones).
+
+Layout:
+  pool.k / pool.v : (L, n_pages, page_size, Hkv, hd)
+  page_table      : (slots, max_pages_per_slot) int32 — pool page per block
+  lengths         : (slots,) written tokens per slot
+
+Host side: a free-list allocator assigns/releases pages at admission/retire.
+Device side (jit):
+  - `write_prompt`: scatter a prefilled (L, S, Hkv, hd) sequence into its pages;
+  - `paged_decode_step`: one token for every active slot — gathers each
+    slot's pages into a contiguous view, applies per-slot causal bias, and
+    scatter-writes the new KV at (page_table[len//P], len%P).
+
+The gather materializes (slots, max_pages·P, …) per layer per step — correct
+and simple; the zero-copy Pallas kernel with scalar-prefetched page tables is
+the planned next step (docs/ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen25vl import Qwen25VLConfig
+from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
+from ..ops.attention import NEG_INF, mha_reference
+from .engine import sample_tokens
+from .params import SamplingParams
+
+
+class PagedPool(NamedTuple):
+    k: jnp.ndarray  # (L, n_pages, P, Hkv, hd)
+    v: jnp.ndarray
+    page_table: jnp.ndarray  # (slots, max_pages) int32
+    lengths: jnp.ndarray  # (slots,) int32
+
+
+class PageAllocator:
+    """Host free-list over pool pages. Page 0 is RESERVED as the scratch sink
+    for dead slots' decode writes (a retired slot's stale page table must
+    never receive writes — its pages may already belong to another slot)."""
+
+    def __init__(self, n_pages: int):
+        self.free: List[int] = list(range(n_pages - 1, 0, -1))
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self.free):
+            raise MemoryError(f"KV pool exhausted: need {n} pages, have {len(self.free)}")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages: List[int]) -> None:
+        self.free.extend(pages)
+
+
+def make_pool(
+    cfg: Qwen25VLConfig, n_pages: int, page_size: int, slots: int, max_pages: int, dtype=jnp.bfloat16
+) -> PagedPool:
+    t = cfg.text
+    shape = (t.num_hidden_layers, n_pages, page_size, t.num_key_value_heads, t.head_dim)
+    return PagedPool(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        page_table=jnp.zeros((slots, max_pages), jnp.int32),
+        lengths=jnp.zeros((slots,), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def write_prompt(
+    pool: PagedPool,
+    slot: jnp.ndarray,  # () int32
+    prompt_pages: jnp.ndarray,  # (n_prompt_pages,) page ids holding the prompt KV
+    table_row: jnp.ndarray,  # (max_pages,) full page table row (prompt + decode pages)
+    k_seq: jnp.ndarray,  # (L, S, Hkv, hd) — S == n_prompt_pages · page_size
+    v_seq: jnp.ndarray,
+    length: jnp.ndarray,  # () int32 true token count (≤ S)
+) -> PagedPool:
+    """Scatter a prefilled sequence into its pages and register the slot."""
+    L = pool.k.shape[0]
+    P = pool.k.shape[2]
+    n = prompt_pages.shape[0]
+    kp = k_seq.reshape(L, n, P, *k_seq.shape[2:]).astype(pool.k.dtype)
+    vp = v_seq.reshape(L, n, P, *v_seq.shape[2:]).astype(pool.v.dtype)
+    new_k = pool.k.at[:, prompt_pages].set(kp)
+    new_v = pool.v.at[:, prompt_pages].set(vp)
+    new_table = pool.page_table.at[slot].set(table_row.astype(jnp.int32))
+    new_lengths = pool.lengths.at[slot].set(length.astype(jnp.int32))
+    return PagedPool(new_k, new_v, new_table, new_lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
+def paged_decode_step(
+    params,
+    pool: PagedPool,
+    cfg: Qwen25VLConfig,
+    sp: SamplingParams,
+    last: jnp.ndarray,  # (slots,) last token per slot
+    start_pos: jnp.ndarray,  # (slots,) rope base of the next token
+    steps: jnp.ndarray,  # (slots,) generated so far
+    live: jnp.ndarray,  # (slots,) bool
+    rng: jnp.ndarray,
+):
+    """One decode step over the paged pool → (pool, next_token (slots,))."""
+    tcfg = cfg.text
+    nh, nkv, hd = tcfg.num_attention_heads, tcfg.num_key_value_heads, tcfg.head_dim
+    eps = tcfg.rms_norm_eps
+    slots, max_pages = pool.page_table.shape
+    P = pool.k.shape[2]
+    view_len = max_pages * P
+
+    pos = start_pos + steps
+    pos3 = jnp.broadcast_to(pos[None, :, None], (3, slots, 1))
+    cos, sin = mrope_cos_sin(tcfg, pos3)
+    cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
+
+    x = jnp.take(params["text"]["embed_tokens"]["embedding"], last[:, None], axis=0)
+    kv_pos = jnp.arange(view_len)[None, :]
+    bias = jnp.where(kv_pos <= pool.lengths[:, None], 0.0, NEG_INF).astype(jnp.float32)
+    bias = bias[:, None, None, :]
+
+    write_page = jnp.take_along_axis(
+        pool.page_table, (pool.lengths // P)[:, None], axis=1
+    )[:, 0]  # (slots,)
+    # dead slots write into the reserved scratch page 0 — their stale page
+    # tables may reference pages reallocated to other slots
+    write_page = jnp.where(live, write_page, 0)
+    write_off = jnp.where(live, pool.lengths % P, 0)
+
+    def layer(carry, scanned):
+        x, pk, pv, li = carry
+        lp = scanned
+        h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
+        q = (h @ lp["self_attn"]["q_w"] + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
+        k = (h @ lp["self_attn"]["k_w"] + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
+        v = (h @ lp["self_attn"]["v_w"] + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
+        k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
+        # scatter the new token's KV into each slot's current page
+        pk = pk.at[li, write_page, write_off].set(k[:, 0].astype(pk.dtype))
+        pv = pv.at[li, write_page, write_off].set(v[:, 0].astype(pv.dtype))
+        # gather each slot's pages into a contiguous (slots, view_len) view
+        layer_k = jax.lax.dynamic_index_in_dim(pk, li, axis=0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(pv, li, axis=0, keepdims=False)
+        k_all = jnp.take(layer_k, pool.page_table, axis=0).reshape(slots, view_len, nkv, hd)
+        v_all = jnp.take(layer_v, pool.page_table, axis=0).reshape(slots, view_len, nkv, hd)
+        attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
+        x = x + attn.reshape(slots, 1, nh * hd) @ lp["self_attn"]["o_w"]
+        h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
+        x = x + (jax.nn.silu(h @ lp["mlp"]["gate_w"]) * (h @ lp["mlp"]["up_w"])) @ lp["mlp"]["down_w"]
+        return (x, pk, pv, li + 1), None
+
+    (x, pk, pv, _), _ = jax.lax.scan(
+        layer, (x, pool.k, pool.v, jnp.zeros((), jnp.int32)), params["text"]["layers"]
+    )
+    x = _rms_norm(x, params["text"]["norm"]["scale"], eps)
+    logits = lm_logits(params["text"], tcfg, x)[:, 0]
+    rng, sub = jax.random.split(rng)
+    nxt = sample_tokens(logits, sub, sp)
+    nxt = jnp.where(live, nxt, cfg.pad_token_id)
+    pool = PagedPool(
+        k=pk, v=pv, page_table=pool.page_table,
+        lengths=pool.lengths + live.astype(jnp.int32),
+    )
+    return pool, nxt
+
+
+class PagedEngine:
+    """Continuous batching over the paged pool (same semantics as
+    sampler.continuous.ContinuousEngine; memory bounded by resident tokens)."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: Qwen25VLConfig,
+        max_slots: int = 8,
+        max_len: int = 4096,
+        page_size: int = 128,
+        n_pages: int | None = None,
+        dtype=jnp.bfloat16,
+        prefill_chunk_tokens: int = 8192,
+    ):
+        from .engine import Engine
+
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.P = page_size
+        self.max_pages = (max_len + page_size - 1) // page_size
+        self.n_pages = n_pages or self.max_pages * max_slots
+        self.dtype = dtype
+        self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
+
+    def _admit(self, pool, allocator, slot, req, sp, req_idx):
+        eng = self._prefill_engine
+        eng.params = self.params
+        ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack([req], extra_len=0)
+        first_logits, cache = eng._prefill(ids, mask, pos_ids, vis, S, S)
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(sp.seed if sp.seed is not None else 0), req_idx
+        )
+        first = int(np.asarray(sample_tokens(jnp.asarray(first_logits), rng, sp))[0])
+
+        L_prompt = len(req.input_ids)
+        lead = S - L_prompt
+        n_prompt_pages = -(-L_prompt // self.P)
+        n_total = min(-(-(L_prompt + sp.max_new_tokens) // self.P), self.max_pages)
+        pages = allocator.alloc(n_total)
+        # contiguous prompt KV, right-padded to a page multiple
+        k = jax.lax.dynamic_slice_in_dim(cache.k[:, 0], lead, L_prompt, axis=1)
+        v = jax.lax.dynamic_slice_in_dim(cache.v[:, 0], lead, L_prompt, axis=1)
+        pad = n_prompt_pages * self.P - L_prompt
+        if pad:
+            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        table_row = np.zeros((self.max_pages,), np.int32)
+        table_row[:n_total] = pages
+        pool = write_prompt(
+            pool,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(pages[:n_prompt_pages], jnp.int32),
+            jnp.asarray(table_row),
+            k,
+            v,
+            jnp.asarray(L_prompt, jnp.int32),
+        )
+        return pool, first, int(start_pos[0]), pages
+
+    def generate(self, requests, sp: SamplingParams):
+        from collections import deque
+
+        G = sp.num_return_sequences
+        queue = deque((i, r) for i, r in enumerate([r for r in requests for _ in range(G)]))
+        n_total = len(queue)
+        results: dict[int, list[int]] = {}
+        stop_set = set(sp.stop_token_ids)
+
+        pool = make_pool(self.cfg, self.n_pages, self.P, self.max_slots, self.max_pages, self.dtype)
+        allocator = PageAllocator(self.n_pages)
+        slot_req = [None] * self.max_slots
+        slot_tokens: list[list[int]] = [[] for _ in range(self.max_slots)]
+        slot_pages: list[list[int]] = [[] for _ in range(self.max_slots)]
+        start_pos = np.zeros((self.max_slots,), np.int64)
+        steps = np.zeros((self.max_slots,), np.int64)
+        last = np.zeros((self.max_slots,), np.int64)
+        rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
+
+        def retire(slot, idx):
+            row = []
+            for t in slot_tokens[slot]:
+                if t in stop_set:
+                    if sp.include_stop_token:
+                        row.append(t)
+                    break
+                row.append(t)
+            results[idx] = row[: sp.max_new_tokens]
+            allocator.release(slot_pages[slot])
+            slot_pages[slot] = []
+            slot_req[slot] = None
+
+        while len(results) < n_total:
+            for slot in range(self.max_slots):
+                if slot_req[slot] is None and queue:
+                    idx, req = queue.popleft()
+                    if len(req.input_ids) + sp.max_new_tokens > self.max_len:
+                        raise ValueError("request exceeds max_len")
+                    pool, first, sp0, pages = self._admit(pool, allocator, slot, req, sp, idx)
+                    slot_req[slot] = idx
+                    slot_pages[slot] = pages
+                    slot_tokens[slot] = [first]
+                    start_pos[slot] = sp0
+                    steps[slot] = 0
+                    last[slot] = first
+                    if first in stop_set:
+                        retire(slot, idx)
+
+            live_np = np.array(
+                [slot_req[s] is not None and len(slot_tokens[s]) < sp.max_new_tokens
+                 and slot_tokens[s][-1] not in stop_set for s in range(self.max_slots)]
+            )
+            if not live_np.any():
+                # every occupied slot already finished (stop/budget) — retire
+                for slot in range(self.max_slots):
+                    if slot_req[slot] is not None:
+                        retire(slot, slot_req[slot])
+                continue
+            rng, sub = jax.random.split(rng)
+            pool, nxt = paged_decode_step(
+                self.params,
+                pool,
+                self.cfg,
+                sp,
+                jnp.asarray(last, jnp.int32),
+                jnp.asarray(start_pos, jnp.int32),
+                jnp.asarray(steps, jnp.int32),
+                jnp.asarray(live_np),
+                sub,
+            )
+            nxt = np.asarray(nxt)
+            for slot in range(self.max_slots):
+                if not live_np[slot]:
+                    continue
+                t = int(nxt[slot])
+                slot_tokens[slot].append(t)
+                last[slot] = t
+                steps[slot] += 1
+                finished = t in stop_set or len(slot_tokens[slot]) >= sp.max_new_tokens
+                if finished:
+                    retire(slot, slot_req[slot])
+        return [results[i] for i in range(n_total)]
