@@ -100,6 +100,7 @@ class TrainConfig:
     save_strategy: str = "steps"  # or "epoch"
     save_only_model: bool = True
     seed: int = 42
+    lr_scheduler_type: str = "linear"  # HF Trainer default: linear decay to 0
     is_early_stopping: bool = False  # stop after 1 epoch (SF rounds)
     resume_from_checkpoint: Optional[str] = None
     report_to: str = "tensorboard"
@@ -173,10 +174,35 @@ class GRPOTrainer:
             use_grpo=config.use_grpo,
             fix_vit=config.fix_vit,
         )
+        self._setup_optimizer(config.learning_rate)
+        self._metrics: dict[str, list] = {}
+        self.global_step = 0
+        self._rng = np.random.default_rng(config.seed)
+        self.timers = None  # set lazily (utils.profiling.PhaseTimers)
+        self._tb = None
+        if config.report_to == "tensorboard":
+            try:
+                from ..utils.logging_sinks import TensorBoardSink
+
+                self._tb = TensorBoardSink(config.logging_dir or os.path.join(config.output_dir, "tb"))
+            except Exception as e:  # tensorboard optional
+                print(f"[trainer] tensorboard sink unavailable: {e}")
+        from ..utils.logging_sinks import DebugRewardLog
+        from ..utils.profiling import PhaseTimers
+
+        self._debug_log = DebugRewardLog()
+        self.timers = PhaseTimers()
+
+    # ------------------------------------------------------------------
+    def _setup_optimizer(self, learning_rate) -> None:
+        """(Re)build adamw (+clip, +accumulation, +offload) with a fixed lr or
+        an optax schedule. train() rebuilds with the linear-decay schedule once
+        the total step count is known (HF Trainer default lr_scheduler)."""
+        config = self.c
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adamw(
-                learning_rate=config.learning_rate,
+                learning_rate=learning_rate,
                 b1=config.adam_beta1,
                 b2=config.adam_beta2,
                 eps=config.adam_epsilon,
@@ -198,24 +224,9 @@ class GRPOTrainer:
                 opt_sharding = jax.tree.map(lambda _: host, self.opt_state)
             except Exception as e:
                 print(f"[trainer] optimizer host-offload unavailable on this backend: {e}")
-        self._train_step = make_train_step(cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding)
-        self._metrics: dict[str, list] = {}
-        self.global_step = 0
-        self._rng = np.random.default_rng(config.seed)
-        self.timers = None  # set lazily (utils.profiling.PhaseTimers)
-        self._tb = None
-        if config.report_to == "tensorboard":
-            try:
-                from ..utils.logging_sinks import TensorBoardSink
-
-                self._tb = TensorBoardSink(config.logging_dir or os.path.join(config.output_dir, "tb"))
-            except Exception as e:  # tensorboard optional
-                print(f"[trainer] tensorboard sink unavailable: {e}")
-        from ..utils.logging_sinks import DebugRewardLog
-        from ..utils.profiling import PhaseTimers
-
-        self._debug_log = DebugRewardLog()
-        self.timers = PhaseTimers()
+        self._train_step = make_train_step(
+            self.cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding
+        )
 
     # ------------------------------------------------------------------
     def _log_metric(self, key: str, value: float):
@@ -356,6 +367,20 @@ class GRPOTrainer:
         c = self.c
         steps_per_epoch = math.ceil(len(dataset) / c.gradient_accumulation_steps)
         n_epochs = 1 if c.is_early_stopping else int(math.ceil(c.num_train_epochs))
+        if c.lr_scheduler_type == "linear":
+            # HF Trainer default: linear warmup (warmup_ratio) then decay to 0
+            total_updates = max(steps_per_epoch * n_epochs, 1)
+            warmup = int(total_updates * c.warmup_ratio)
+            schedule = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, c.learning_rate, max(warmup, 1)),
+                    optax.linear_schedule(
+                        c.learning_rate, 0.0, max(total_updates - warmup, 1)
+                    ),
+                ],
+                boundaries=[warmup],
+            ) if warmup else optax.linear_schedule(c.learning_rate, 0.0, total_updates)
+            self._setup_optimizer(schedule)
         for epoch in range(n_epochs):
             for example in dataset:
                 info = self.step(example)
