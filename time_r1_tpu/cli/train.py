@@ -77,6 +77,10 @@ def get_args(argv=None):
     p.add_argument("--per_device_train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=2)
     p.add_argument("--learning_rate", type=float, default=1e-6)
+    p.add_argument("--warmup_ratio", type=float, default=0.0)
+    p.add_argument("--lr_scheduler_type", type=str, default="linear", choices=["linear", "constant"])
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=0.04)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--num_train_epochs", type=float, default=5)
@@ -123,6 +127,10 @@ def main(args, trainer: GRPOTrainer = None):
         config = TrainConfig(
             output_dir=args.output_dir,
             learning_rate=args.learning_rate,
+            warmup_ratio=args.warmup_ratio,
+            lr_scheduler_type=args.lr_scheduler_type,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
             num_train_epochs=args.num_train_epochs,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             max_prompt_length=args.max_prompt_length,
