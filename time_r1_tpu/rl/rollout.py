@@ -17,7 +17,8 @@ from ..models.qwen25vl import Qwen25VLConfig, VisionInputs, get_rope_index, prep
 from .grpo import GRPOBatch
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
+def _bucket(n: int, minimum: int = 128) -> int:
+    """Power-of-two bucket (≥128 keeps train-batch shapes flash-eligible)."""
     b = minimum
     while b < n:
         b *= 2

@@ -99,8 +99,7 @@ def write_prompt(
     return PagedPool(new_k, new_v, new_table, new_lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(1,))
-def paged_decode_step(
+def _paged_one_step(
     params,
     pool: PagedPool,
     cfg: Qwen25VLConfig,
@@ -176,6 +175,42 @@ def paged_decode_step(
     return pool, nxt
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "segment", "sp"), donate_argnums=(1,))
+def paged_decode_segment(
+    params,
+    pool: PagedPool,
+    cfg: Qwen25VLConfig,
+    segment: int,
+    sp: SamplingParams,
+    last: jnp.ndarray,  # (slots,)
+    start_pos: jnp.ndarray,  # (slots,)
+    steps: jnp.ndarray,  # (slots,) generated so far
+    active: jnp.ndarray,  # (slots,) bool — occupied slots
+    max_steps: jnp.ndarray,  # (slots,) per-slot remaining budget
+    rng: jnp.ndarray,
+):
+    """Up to `segment` on-device decode steps (iteration-level scheduling —
+    same K-step host-sync pattern as sampler.continuous.decode_segment).
+    Returns (pool, tokens (slots, segment), last, steps, done)."""
+    stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
+
+    def one(carry, _):
+        pool, last, steps, done, rng = carry
+        live = active & ~done & (steps < max_steps)
+        rng, sub = jax.random.split(rng)
+        pool, nxt = _paged_one_step(params, pool, cfg, sp, last, start_pos, steps, live, sub)
+        done = done | (live & jnp.isin(nxt, stop_ids))
+        last = jnp.where(live, nxt, last)
+        steps = steps + live.astype(jnp.int32)
+        return (pool, last, steps, done, rng), nxt
+
+    done0 = jnp.isin(last, jnp.array(sp.stop_token_ids, jnp.int32)) | ~active
+    (pool, last, steps, done, _), toks = jax.lax.scan(
+        one, (pool, last, steps, done0, rng), None, length=segment
+    )
+    return pool, toks.T, last, steps, done
+
+
 class PagedEngine:
     """Continuous batching over the paged pool (same semantics as
     sampler.continuous.ContinuousEngine; memory bounded by resident tokens)."""
@@ -190,6 +225,7 @@ class PagedEngine:
         n_pages: int | None = None,
         dtype=jnp.bfloat16,
         prefill_chunk_tokens: int = 8192,
+        segment: int = 16,
     ):
         from .engine import Engine
 
@@ -201,6 +237,7 @@ class PagedEngine:
         self.max_pages = (max_len + page_size - 1) // page_size
         self.n_pages = n_pages or self.max_pages * max_slots
         self.dtype = dtype
+        self.segment = segment
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
     def _admit(self, pool, allocator, slot, req, sp, req_idx):
@@ -286,37 +323,49 @@ class PagedEngine:
                     if first in stop_set:
                         retire(slot, idx)
 
-            live_np = np.array(
+            active_np = np.array(
                 [slot_req[s] is not None and len(slot_tokens[s]) < sp.max_new_tokens
                  and slot_tokens[s][-1] not in stop_set for s in range(self.max_slots)]
             )
-            if not live_np.any():
+            if not active_np.any():
                 # every occupied slot already finished (stop/budget) — retire
                 for slot in range(self.max_slots):
                     if slot_req[slot] is not None:
                         retire(slot, slot_req[slot])
                 continue
+            max_steps = np.array(
+                [sp.max_new_tokens - len(slot_tokens[s]) + steps[s] if slot_req[s] is not None else 0
+                 for s in range(self.max_slots)],
+                np.int64,
+            )
             rng, sub = jax.random.split(rng)
-            pool, nxt = paged_decode_step(
+            pool, toks, last_j, steps_j, done_j = paged_decode_segment(
                 self.params,
                 pool,
                 self.cfg,
+                self.segment,
                 sp,
                 jnp.asarray(last, jnp.int32),
                 jnp.asarray(start_pos, jnp.int32),
                 jnp.asarray(steps, jnp.int32),
-                jnp.asarray(live_np),
+                jnp.asarray(active_np),
+                jnp.asarray(max_steps, jnp.int32),
                 sub,
             )
-            nxt = np.asarray(nxt)
+            toks = np.asarray(toks)
+            steps_old = steps.copy()
+            last = np.asarray(last_j).astype(np.int64)
+            steps = np.asarray(steps_j).astype(np.int64)
+            done_np = np.asarray(done_j)
             for slot in range(self.max_slots):
-                if not live_np[slot]:
+                if not active_np[slot]:
                     continue
-                t = int(nxt[slot])
-                slot_tokens[slot].append(t)
-                last[slot] = t
-                steps[slot] += 1
-                finished = t in stop_set or len(slot_tokens[slot]) >= sp.max_new_tokens
+                # exactly steps_new - steps_old real tokens were generated;
+                # the rest of the row is pad (slot went done / out of budget)
+                n_new = int(steps[slot] - steps_old[slot])
+                for t in toks[slot][:n_new]:
+                    slot_tokens[slot].append(int(t))
+                finished = done_np[slot] or len(slot_tokens[slot]) >= sp.max_new_tokens
                 if finished:
                     retire(slot, slot_req[slot])
         return [results[i] for i in range(n_total)]
