@@ -2,7 +2,14 @@
 
 Shape mirrors the reference's hot loop #1 (timer1_trainer.py:568-573): G=8
 grouped rollouts from a ~1.7k-token video prompt (1568 video tokens + text,
-the recipes' 3584·28² pixel budget), Qwen2.5-VL-3B architecture, bf16.
+the recipes' 3584·28² pixel budget), Qwen2.5-VL-3B architecture.
+
+Decode runs the weight-only int8 path (ops/quant.py): decode at this batch
+is HBM-bound, and int8 halves the weight stream (bf16 ≈ 9.7 ms/step vs int8
+≈ 5.7 ms/step at 2k context on v5e). Rollout sampling through a quantized
+policy is the same capability class as the reference's vLLM rollouts (which
+never bit-match its DeepSpeed trainer forward either); logps for the loss
+are recomputed in bf16.
 
 The reference publishes no throughput numbers (BASELINE.md) — `vs_baseline`
 is measured against A100_VLLM_3B_DECODE_TOKS_PER_S, a conservative public
@@ -10,9 +17,11 @@ ballpark for vLLM 0.8.x Qwen2.5-VL-3B batched decode on one A100 at this
 batch size. Driver target: ≥2× (BASELINE.md north star).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Side measurements (engine end-to-end, prefill) go to stderr.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -50,6 +59,7 @@ def main():
         init_params,
         prepare_vision_inputs,
     )
+    from time_r1_tpu.sampler import Engine, Request
     from time_r1_tpu.sampler.engine import sample_tokens
     from time_r1_tpu.sampler.params import SamplingParams
 
@@ -92,11 +102,16 @@ def main():
     sp = SamplingParams(temperature=1.0, max_new_tokens=DECODE_STEPS)
     maskj = jnp.asarray(mask)
 
+    # int8 weight-only decode params (the quantized-rollout path);
+    # the bf16 tree is dropped immediately — 6.2 GB of HBM back
+    engine = Engine(params, cfg, quantization="int8")
+    p8 = engine.params
+    del params
+    jax.block_until_ready(p8)
+
     @jax.jit
     def prefill(params, ids, pos_ids, vis):
         cache = KVCache.zeros(cfg.text, BATCH, max_len, dtype=jnp.bfloat16)
-        # NOTE: headline metric is decode throughput; prefill runs the
-        # reference attention to keep first-round compile time bounded
         logits, cache = forward(
             params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache,
         )
@@ -119,33 +134,55 @@ def main():
         cache, last, _ = jax.lax.fori_loop(0, steps, body, (cache, last, jax.random.PRNGKey(2)))
         return cache, last
 
-    # compile + warmup
-    cache, first = prefill(params, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    # compile + warmup (int8 path)
+    cache, first = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
     jax.block_until_ready(cache.k)
     t0 = time.perf_counter()
-    cache2, _ = prefill(params, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    cache2, _ = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
     jax.block_until_ready(cache2.k)
     prefill_time = time.perf_counter() - t0
+    del cache2
 
-    c3, l3 = decode(params, cache, first, DECODE_STEPS)  # warmup/compile (same static steps!)
+    c3, l3 = decode(p8, cache, first, DECODE_STEPS)  # warmup/compile (same static steps!)
     jax.block_until_ready(l3)
+    cache, first = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    jax.block_until_ready(cache.k)  # decode timing must not absorb the async prefill
     t0 = time.perf_counter()
-    c4, l4 = decode(params, cache, first, DECODE_STEPS)
+    c4, l4 = decode(p8, cache, first, DECODE_STEPS)
     jax.block_until_ready(l4)
     decode_time = time.perf_counter() - t0
+    del c3, c4, cache
+
+    # the REAL engine path (shared-prefix G-way rollout incl. admission,
+    # chunked prefill, while_loop decode with stop handling + host sync)
+    req = Request(
+        input_ids=row.tolist(),
+        patches=patches[:n_patches],
+        grid_thw=VIDEO_GRID,
+        second_per_grid_t=1.0,
+    )
+    esp = SamplingParams(
+        temperature=1.0, max_new_tokens=DECODE_STEPS, num_return_sequences=BATCH, seed=0
+    )
+    engine.generate([req], esp)  # compile
+    t0 = time.perf_counter()
+    outs = engine.generate([req], esp)
+    engine_time = time.perf_counter() - t0
+    engine_toks = sum(len(o) for o in outs)
 
     toks_per_s = BATCH * DECODE_STEPS / decode_time
     result = {
-        "metric": "grpo_rollout_decode_throughput_3b_bs8",
+        "metric": "grpo_rollout_decode_throughput_3b_bs8_int8w",
         "value": round(toks_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(toks_per_s / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
     }
-    import sys
-
     print(
-        f"[bench] prefill({BATCH}x{S} tokens incl. {n_vis} video) = {prefill_time*1e3:.0f} ms; "
-        f"decode {DECODE_STEPS} steps = {decode_time*1e3:.0f} ms",
+        f"[bench] int8w prefill({BATCH}x{S} tokens incl. {n_vis} video) = {prefill_time*1e3:.0f} ms; "
+        f"decode {DECODE_STEPS} steps = {decode_time*1e3:.0f} ms "
+        f"({decode_time/DECODE_STEPS*1e3:.2f} ms/step); "
+        f"engine end-to-end G={BATCH} = {engine_time*1e3:.0f} ms for {engine_toks} tokens "
+        f"({engine_toks/engine_time:.0f} tok/s incl. prefill+vision)",
         file=sys.stderr,
     )
     print(json.dumps(result))

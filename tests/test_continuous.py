@@ -49,3 +49,41 @@ def test_continuous_with_video(jx_params):  # noqa: F811
     bucket = Engine(jx_params, CFG, dtype=jnp.float32)
     cont = ContinuousEngine(jx_params, CFG, max_slots=2, max_len=256, segment=4, dtype=jnp.float32)
     assert cont.generate([req], sp) == bucket.generate([req], sp)
+
+
+def test_continuous_exact_accounting_budget_exhaustion(jx_params):  # noqa: F811
+    """A slot that exhausts max_new_tokens without emitting a stop id must
+    return exactly max_new_tokens tokens and NO phantom pads — even when
+    pad_token_id is itself a stop id (the real Qwen vocab case: pad 151643
+    IS in stop_token_ids)."""
+    rng = np.random.default_rng(2)
+    reqs = _requests(3, rng)
+    # stop on a token greedy decode will never produce AND on pad itself;
+    # budget 5 with segment 4 forces a mid-segment budget exhaustion
+    sp = SamplingParams(
+        temperature=0.0, max_new_tokens=5, stop_token_ids=(CFG.pad_token_id, 255)
+    )
+    bucket = Engine(jx_params, CFG, dtype=jnp.float32)
+    cont = ContinuousEngine(jx_params, CFG, max_slots=2, max_len=256, segment=4, dtype=jnp.float32)
+    want = bucket.generate(reqs, sp)
+    got = cont.generate(reqs, sp)
+    assert got == want
+    for row, w in zip(got, want):
+        assert len(row) <= sp.max_new_tokens
+
+
+def test_continuous_quantized_runs(jx_params):  # noqa: F811
+    """int8 weight-only path through the slot engine produces well-formed
+    outputs (stop/budget respected)."""
+    rng = np.random.default_rng(3)
+    reqs = _requests(3, rng)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_token_ids=CFG.stop_token_ids)
+    cont = ContinuousEngine(
+        jx_params, CFG, max_slots=2, max_len=256, segment=3, dtype=jnp.float32,
+        quantization="int8",
+    )
+    out = cont.generate(reqs, sp)
+    assert len(out) == 3
+    for row in out:
+        assert len(row) <= sp.max_new_tokens
+        assert all(isinstance(t, int) for t in row)

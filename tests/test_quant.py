@@ -1,0 +1,134 @@
+"""Weight-only quantization (ops/quant.py): numerics + model-path dispatch.
+
+Grid-exact tests: weights snapped onto their own int8/int4 grid quantize
+losslessly, so the quantized forward must reproduce the bf16 forward's
+greedy argmax exactly — this pins the dispatch plumbing (qmatmul /
+embed_lookup / tied_head_logits) independent of quantization error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from time_r1_tpu.models.qwen25vl import Qwen25VLConfig, forward, init_params
+from time_r1_tpu.ops.quant import (
+    _unpack_q4,
+    dequantize_weight,
+    embed_lookup,
+    quantize_embedding,
+    quantize_params,
+    quantize_weight,
+    tied_head_logits,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 64, 48)).astype(np.float32))
+    q = quantize_weight(w, bits=8)
+    deq = dequantize_weight(q, dtype=jnp.float32)
+    # symmetric per-channel: |err| <= scale/2 elementwise
+    assert np.all(np.abs(np.asarray(deq - w)) <= np.asarray(q["s"]) / 2 + 1e-7)
+
+
+def test_int4_pack_unpack_exact():
+    rng = np.random.default_rng(1)
+    q = rng.integers(-7, 8, size=(2, 16, 12)).astype(np.int8)
+    packed = (q[:, 0::2, :] & 0x0F) | (q[:, 1::2, :] << 4)
+    un = np.asarray(_unpack_q4(jnp.asarray(packed.astype(np.int8))))
+    np.testing.assert_array_equal(un, q)
+
+
+def test_int4_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q = quantize_weight(w, bits=4)
+    deq = dequantize_weight(q, dtype=jnp.float32)
+    assert np.all(np.abs(np.asarray(deq - w)) <= np.asarray(q["s"]) / 2 + 1e-6)
+
+
+def test_embed_lookup_and_tied_head():
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    qe = quantize_embedding(emb, bits=8)
+    ids = jnp.asarray([[1, 5, 31], [0, 2, 2]])
+    got = np.asarray(embed_lookup(qe, ids, dtype=jnp.float32))
+    want = np.asarray(jnp.take(emb, ids, axis=0))
+    assert np.max(np.abs(got - want)) <= float(np.max(np.asarray(qe["s"]))) / 2 + 1e-6
+
+    hidden = jnp.asarray(rng.normal(size=(1, 2, 16)).astype(np.float32))
+    lg = np.asarray(tied_head_logits(hidden, qe))
+    lw = np.asarray(jnp.einsum("bsh,vh->bsv", hidden, emb))
+    assert np.allclose(lg, lw, atol=0.2)
+    assert lg.dtype == np.float32
+
+
+def _snap_to_grid(params):
+    """Snap every quantizable weight onto its own int8 grid (lossless quant)."""
+
+    def snap(w, contract_axis=-2):
+        amax = jnp.max(jnp.abs(w), axis=contract_axis, keepdims=True)
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        return (jnp.round(w / s) * s).astype(w.dtype)
+
+    p = jax.tree.map(lambda x: x, params)  # copy structure
+    t = p["text"]
+    for k in ("q_w", "k_w", "v_w", "o_w"):
+        t["layers"]["self_attn"][k] = snap(t["layers"]["self_attn"][k])
+    for k in ("gate_w", "up_w", "down_w"):
+        t["layers"]["mlp"][k] = snap(t["layers"]["mlp"][k])
+    t["embed_tokens"]["embedding"] = snap(t["embed_tokens"]["embedding"], contract_axis=-1)
+    if "lm_head" in t:
+        t["lm_head"]["kernel"] = snap(t["lm_head"]["kernel"])
+    return p
+
+
+@pytest.mark.parametrize("tie", [True, False])
+def test_quantized_forward_matches_on_grid_weights(tie):
+    cfg = Qwen25VLConfig.tiny_test()
+    if tie:
+        from dataclasses import replace
+
+        cfg = replace(cfg, text=replace(cfg.text, tie_word_embeddings=True))
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = _snap_to_grid(params)
+    qparams = quantize_params(params, bits=8)
+
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(2, 200, size=(2, 9)))
+    pos = jnp.broadcast_to(jnp.arange(9)[None, None, :], (3, 2, 9))
+    full, _ = forward(params, cfg, ids, pos)
+    quant, _ = forward(qparams, cfg, ids, pos)
+    # lossless grid: logits match to float tolerance, argmax exactly
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(full), -1), np.argmax(np.asarray(quant), -1)
+    )
+    assert np.max(np.abs(np.asarray(full) - np.asarray(quant))) < 2e-2
+
+
+def test_quantized_forward_close_on_random_weights():
+    cfg = Qwen25VLConfig.tiny_test()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    qparams = quantize_params(params, bits=8)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(2, 200, size=(1, 12)))
+    pos = jnp.broadcast_to(jnp.arange(12)[None, None, :], (3, 1, 12))
+    full, _ = forward(params, cfg, ids, pos)
+    quant, _ = forward(qparams, cfg, ids, pos)
+    f, q = np.asarray(full).ravel(), np.asarray(quant).ravel()
+    corr = np.corrcoef(f, q)[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_engine_quantized_greedy_equivalence_on_grid_weights():
+    from time_r1_tpu.sampler import Engine, Request, SamplingParams
+
+    cfg = Qwen25VLConfig.tiny_test()
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    params = _snap_to_grid(params)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+    req = Request(input_ids=list(range(2, 12)))
+    base = Engine(params, cfg, dtype=jnp.float32).generate([req], sp)
+    quant = Engine(params, cfg, dtype=jnp.float32, quantization="int8").generate([req], sp)
+    assert base == quant

@@ -27,7 +27,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ...ops.attention import NEG_INF, mha_reference
+from ...ops.attention import NEG_INF, mha_cached, mha_reference
+from ...ops.quant import qmatmul, tied_head_logits
 from .config import TextConfig
 
 
@@ -161,16 +162,28 @@ def decoder_forward(
     sin_b = sin[:, :, None, :]
 
     if cache is not None:
+        # Split attention: cache prefix [0, length) via bias_old; the current
+        # S-token chunk via bias_new (causal within the chunk). mha_cached
+        # combines the softmax across both — so the cache is never copied
+        # through the attention input and gets ONE in-place update per call.
         kv_len = cache.k.shape[2]
-        q_offset = cache.length
         kv_pos = jnp.arange(kv_len)[None, :]
-        q_pos = q_offset + jnp.arange(S)[:, None]
-        allowed = kv_pos[None] <= q_pos[None]  # (1, S, kv_len) causal incl. cached prefix
-        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]  # (1,1,S,kv)
+        old_allowed = kv_pos < cache.length  # (1, kv_len) — same for every chunk row
+        bias_old = jnp.where(old_allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
         if attention_mask is not None:
             pad = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
-            bias = bias + pad[:, None, None, :]
-        window_bias = bias  # sliding window not used in decode path (recipes disable it)
+            bias_old = bias_old + pad[:, None, None, :]
+        i_pos = jnp.arange(S)[:, None]
+        j_pos = jnp.arange(S)[None, :]
+        bias_new = jnp.where(j_pos <= i_pos, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        if attention_mask is not None:
+            chunk_pad = jax.lax.dynamic_slice(
+                attention_mask, (0, cache.length), (B, S)
+            )
+            bias_new = bias_new + jnp.where(chunk_pad > 0, 0.0, NEG_INF).astype(jnp.float32)[
+                :, None, None, :
+            ]
+        bias = window_bias = None  # unused in the cached path
     else:
         kv_pos = jnp.arange(S)[None, :]
         q_pos = jnp.arange(S)[:, None]
@@ -214,26 +227,33 @@ def decoder_forward(
     def layer(x, scanned):
         lp, is_sliding, layer_k, layer_v = scanned
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q = (h @ lp["self_attn"]["q_w"] + lp["self_attn"]["q_b"]).reshape(B, S, nh, hd)
-        k = (h @ lp["self_attn"]["k_w"] + lp["self_attn"]["k_b"]).reshape(B, S, nkv, hd)
-        v = (h @ lp["self_attn"]["v_w"] + lp["self_attn"]["v_b"]).reshape(B, S, nkv, hd)
+        q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(B, S, nh, hd)
+        k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(B, S, nkv, hd)
+        v = (qmatmul(h, lp["self_attn"]["v_w"]) + lp["self_attn"]["v_b"]).reshape(B, S, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
 
         if cache is not None:
-            k_all = jax.lax.dynamic_update_slice(layer_k, k.astype(layer_k.dtype), (0, cache.length, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(layer_v, v.astype(layer_v.dtype), (0, cache.length, 0, 0))
             if flash_cached:
                 from ...ops.flash_attention import flash_attention
 
+                k_all = jax.lax.dynamic_update_slice(
+                    layer_k, k.astype(layer_k.dtype), (0, cache.length, 0, 0)
+                )
+                v_all = jax.lax.dynamic_update_slice(
+                    layer_v, v.astype(layer_v.dtype), (0, cache.length, 0, 0)
+                )
                 attn = flash_attention(
                     q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_bias,
                     True, None, flash_q_offset,
                 )
             else:
-                attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
-            new_k, new_v = k_all, v_all
+                attn = mha_cached(
+                    q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), k, v,
+                    bias_old, bias_new,
+                )
+            new_k, new_v = k, v  # ys: the chunk only — written into the cache once, post-scan
         elif flash:
             from ...ops.flash_attention import flash_attention
 
@@ -243,15 +263,26 @@ def decoder_forward(
             b = jnp.where(is_sliding, window_bias, bias)
             attn = mha_reference(q, k, v, bias=b)
             new_k, new_v = layer_k, layer_v
-        attn = attn.reshape(B, S, nh * hd) @ lp["self_attn"]["o_w"]
+        attn = qmatmul(attn.reshape(B, S, nh * hd), lp["self_attn"]["o_w"])
         x = x + attn
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + (jax.nn.silu(h @ lp["mlp"]["gate_w"]) * (h @ lp["mlp"]["up_w"])) @ lp["mlp"]["down_w"]
+        x = x + qmatmul(
+            jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
+            lp["mlp"]["down_w"],
+        )
         return x, (new_k, new_v)
 
     if cache is not None:
         hidden, (ks, vs) = jax.lax.scan(layer, hidden, (layers, sliding, cache.k, cache.v))
-        new_cache = KVCache(k=ks, v=vs, length=cache.length + S)
+        # ks/vs: (L, B, S, Hkv, hd) — just the chunk. One dynamic_update_slice
+        # into the (donated) cache buffer: in-place under jit/while-loop.
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, ks.astype(cache.k.dtype), (0, 0, cache.length, 0, 0)
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, vs.astype(cache.v.dtype), (0, 0, cache.length, 0, 0)
+        )
+        new_cache = KVCache(k=new_k, v=new_v, length=cache.length + S)
     else:
         dummy = jnp.zeros((cfg.num_hidden_layers, 0), hidden.dtype)
         hidden, _ = jax.lax.scan(layer, hidden, (layers, sliding, dummy, dummy))
@@ -265,14 +296,19 @@ def lm_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray
     """Project final hidden states to vocab logits (fp32).
 
     Tied embeddings contract directly against the (V, hidden) table — no
-    622MB transpose materialized per decode step."""
+    622MB transpose materialized per decode step. Row-quantized tables
+    (ops/quant.py) stream int8/int4 from HBM instead of bf16."""
+    from ...ops.quant import is_quantized
+
     if cfg.tie_word_embeddings:
-        return jnp.einsum(
-            "bsh,vh->bsv",
-            hidden,
-            params["embed_tokens"]["embedding"],
-            preferred_element_type=jnp.float32,
+        return tied_head_logits(hidden, params["embed_tokens"]["embedding"])
+    kernel = params["lm_head"]["kernel"]
+    if is_quantized(kernel):
+        from ...ops.quant import _unpack_q4
+
+        q = kernel["q8"] if "q8" in kernel else _unpack_q4(kernel["q4"])
+        y = jnp.einsum(
+            "bsh,hv->bsv", hidden, q.astype(hidden.dtype), preferred_element_type=jnp.float32
         )
-    return jnp.einsum(
-        "bsh,hv->bsv", hidden, params["lm_head"]["kernel"], preferred_element_type=jnp.float32
-    )
+        return y * kernel["s"][0][None, None, :]
+    return jnp.einsum("bsh,hv->bsv", hidden, kernel, preferred_element_type=jnp.float32)

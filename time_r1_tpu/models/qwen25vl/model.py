@@ -99,7 +99,13 @@ def forward(
     flash_q_offset: Optional[int] = None,
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full forward → (logits (B, S, V) fp32, updated KV cache)."""
-    embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], input_ids, axis=0)
+    from ...ops.quant import embed_lookup
+
+    embeds = embed_lookup(
+        params["text"]["embed_tokens"]["embedding"],
+        input_ids,
+        dtype=params["text"]["norm"]["scale"].dtype,  # norm scales are never quantized
+    )
     if vision is not None:
         feats = vision_forward(
             params["visual"],

@@ -48,3 +48,51 @@ def mha_reference(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
     return out.reshape(B, Sq, H, D)
+
+
+def _bias_grouped(bias: jnp.ndarray, H: int, Hkv: int) -> jnp.ndarray:
+    """Broadcast an additive (B, 1|H, Sq, Skv) bias to the grouped
+    (B, Hkv, G, Sq, Skv) layout."""
+    b = bias.astype(jnp.float32)
+    if b.shape[1] == 1:
+        return b[:, :, None]  # broadcasts over (Hkv, G)
+    return jnp.broadcast_to(b, (b.shape[0], H) + b.shape[2:]).reshape(
+        b.shape[0], Hkv, H // Hkv, *b.shape[2:]
+    )
+
+
+def mha_cached(
+    q: jnp.ndarray,  # (B, S, H, D) — current chunk queries (post-rope)
+    k_old: jnp.ndarray,  # (B, Lkv, Hkv, D) — cache buffer (prefix valid, masked by bias_old)
+    v_old: jnp.ndarray,
+    k_new: jnp.ndarray,  # (B, S, Hkv, D) — current chunk keys (post-rope)
+    v_new: jnp.ndarray,
+    bias_old: jnp.ndarray,  # additive, broadcastable to (B, 1|H, S, Lkv)
+    bias_new: jnp.ndarray,  # additive, broadcastable to (B, 1|H, S, S)
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Cached-decode SDPA with the softmax COMBINED across the cache prefix
+    and the in-register chunk — mathematically identical to attention over
+    their concatenation, but the chunk never has to be written into (or the
+    cache copied through) the attention input. This is what lets the decode
+    loop update the KV cache with one in-place dynamic_update_slice per step
+    instead of streaming 2×full-cache copies per layer (the round-1 decode
+    bottleneck: ~3.4 ms/step of pure HBM copy at 2k context)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, S, H, D = q.shape
+    Hkv = k_old.shape[2]
+    G = H // Hkv
+    qg = q.reshape(B, S, Hkv, G, D)
+    lo = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_old, preferred_element_type=jnp.float32) * scale
+    ln = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k_new, preferred_element_type=jnp.float32) * scale
+    lo = lo + _bias_grouped(bias_old, H, Hkv)
+    ln = ln + _bias_grouped(bias_new, H, Hkv)
+    m = jnp.maximum(jnp.max(lo, axis=-1), jnp.max(ln, axis=-1))  # (B, Hkv, G, S)
+    po = jnp.exp(lo - m[..., None])
+    pn = jnp.exp(ln - m[..., None])
+    denom = jnp.sum(po, axis=-1) + jnp.sum(pn, axis=-1)
+    po = (po / denom[..., None]).astype(v_old.dtype)
+    pn = (pn / denom[..., None]).astype(v_new.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", po, v_old) + jnp.einsum("bhgqk,bkhd->bqhgd", pn, v_new)
+    return out.reshape(B, S, H, D)

@@ -275,7 +275,7 @@ class GRPOTrainer:
             num_return_sequences=c.num_generations,
             seed=int(self._rng.integers(0, 2**31 - 1)),
         )
-        self.engine.params = self.params  # live weights
+        self.engine.set_params(self.params)  # live weights (re-quantized if enabled)
         with self.timers.phase("rollout"):
             completions = self.engine.generate(
                 [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp

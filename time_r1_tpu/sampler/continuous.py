@@ -29,7 +29,8 @@ import numpy as np
 
 from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
-from ..ops.attention import NEG_INF, mha_reference
+from ..ops.attention import NEG_INF, mha_cached
+from ..ops.quant import embed_lookup, qmatmul
 from .engine import Engine, Request, sample_tokens
 from .params import SamplingParams
 
@@ -73,35 +74,43 @@ def decode_segment(
         cos, sin = mrope_cos_sin(tcfg, pos3)
         cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
 
-        x = jnp.take(params["text"]["embed_tokens"]["embedding"], state.last[:, None], axis=0)
+        x = embed_lookup(
+            params["text"]["embed_tokens"]["embedding"], state.last[:, None],
+            dtype=params["text"]["norm"]["scale"].dtype,
+        )
         kv_pos = jnp.arange(max_len)[None, :]
-        bias = jnp.where(kv_pos <= state.lengths[:, None], 0.0, NEG_INF).astype(jnp.float32)
-        bias = bias[:, None, None, :]  # (slots, 1, 1, max_len)
+        # prefix-only bias (strict <): the current token rides mha_cached's
+        # in-register path, so the cache is never copied per layer — one
+        # all-layer scatter per step below
+        bias_old = jnp.where(kv_pos < state.lengths[:, None], 0.0, NEG_INF).astype(jnp.float32)
+        bias_old = bias_old[:, None, None, :]  # (slots, 1, 1, max_len)
+        bias_new = jnp.zeros((slots, 1, 1, 1), jnp.float32)
 
-        def layer(carry2, scanned):
-            x, ck, cv, li = carry2
-            lp = scanned
+        def layer(x, scanned):
+            lp, layer_k, layer_v = scanned
             h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-            q = (h @ lp["self_attn"]["q_w"] + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
-            k = (h @ lp["self_attn"]["k_w"] + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
-            v = (h @ lp["self_attn"]["v_w"] + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
+            q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
+            k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
+            v = (qmatmul(h, lp["self_attn"]["v_w"]) + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
             qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
             q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
             k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
-            # per-slot scatter write at column lengths[slot]
-            ck = ck.at[li, jnp.arange(slots), state.lengths].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[li, jnp.arange(slots), state.lengths].set(v[:, 0].astype(cv.dtype))
-            k_all = jax.lax.dynamic_index_in_dim(ck, li, axis=0, keepdims=False)
-            v_all = jax.lax.dynamic_index_in_dim(cv, li, axis=0, keepdims=False)
-            attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
-            x = x + attn.reshape(slots, 1, nh * hd) @ lp["self_attn"]["o_w"]
+            attn = mha_cached(
+                q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), k, v, bias_old, bias_new
+            )
+            x = x + qmatmul(attn.reshape(slots, 1, nh * hd), lp["self_attn"]["o_w"])
             h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-            x = x + (jax.nn.silu(h @ lp["mlp"]["gate_w"]) * (h @ lp["mlp"]["up_w"])) @ lp["mlp"]["down_w"]
-            return (x, ck, cv, li + 1), None
+            x = x + qmatmul(
+                jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
+                lp["mlp"]["down_w"],
+            )
+            return x, (k[:, 0], v[:, 0])
 
-        (x, ck, cv, _), _ = jax.lax.scan(
-            layer, (x, state.k, state.v, jnp.zeros((), jnp.int32)), layers
-        )
+        x, (ks, vs) = jax.lax.scan(layer, x, (layers, state.k, state.v))
+        # ks/vs: (L, slots, Hkv, hd) — ONE scatter for all layers at each
+        # slot's write column (in-place on the donated pool)
+        ck = state.k.at[:, jnp.arange(slots), state.lengths].set(ks.astype(state.k.dtype))
+        cv = state.v.at[:, jnp.arange(slots), state.lengths].set(vs.astype(state.v.dtype))
         x = _rms_norm(x, params["text"]["norm"]["scale"], eps)
         logits = lm_logits(params["text"], tcfg, x)[:, 0]
         rng, sub = jax.random.split(rng)
@@ -135,7 +144,12 @@ class ContinuousEngine:
         segment: int = 16,
         dtype=jnp.bfloat16,
         prefill_chunk_tokens: int = 8192,
+        quantization: str | None = None,  # None | "int8" (weight-only, ops/quant.py)
     ):
+        if quantization:
+            from ..ops.quant import quantize_params_jit
+
+            params = quantize_params_jit(params, bits={"int8": 8, "int4": 4}[quantization])
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
@@ -143,6 +157,7 @@ class ContinuousEngine:
         self.segment = segment
         self.dtype = dtype
         # the bucket engine does per-request prefill (B=1) for admissions
+        # (params already quantized — shares buffers with this engine)
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
     # ------------------------------------------------------------------
@@ -227,6 +242,7 @@ class ContinuousEngine:
                 jnp.int32,
             )
             rng, sub = jax.random.split(rng)
+            steps_before = np.asarray(state.steps)
             state, toks = decode_segment(
                 self.params, state, self.cfg, self.segment, sp, sub, active, max_steps
             )
@@ -237,13 +253,13 @@ class ContinuousEngine:
                 idx = slot_req[slot]
                 if idx is None:
                     continue
-                for t in toks[slot]:
-                    t = int(t)
-                    if t == self.cfg.pad_token_id and done_now[slot]:
-                        break
-                    slot_tokens[slot].append(t)
-                    if t in stop_set:
-                        break
+                # exactly steps_now - steps_before real tokens were generated
+                # this segment; everything after is pad (slot went done /
+                # out of budget) — never appended, even when pad_token_id is
+                # itself a stop id (Qwen pad 151643 IS one)
+                n_new = int(steps_now[slot] - steps_before[slot])
+                for t in toks[slot][:n_new]:
+                    slot_tokens[slot].append(int(t))
                 finished = done_now[slot] or len(slot_tokens[slot]) >= sp.max_new_tokens
                 if finished:
                     row = []

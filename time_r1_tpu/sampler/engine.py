@@ -106,7 +106,7 @@ def compute_vision_features(params, cfg: Qwen25VLConfig, vis: VisionInputs) -> j
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "q_offset"))
+@functools.partial(jax.jit, static_argnames=("cfg", "q_offset"), donate_argnums=(2,))
 def prefill_chunk(
     params,
     cfg: Qwen25VLConfig,
@@ -119,7 +119,12 @@ def prefill_chunk(
     q_offset: int,
 ):
     """One prompt chunk through the decoder, appending to the cache."""
-    embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], ids, axis=0)
+    from ..ops.quant import embed_lookup
+
+    embeds = embed_lookup(
+        params["text"]["embed_tokens"]["embedding"], ids,
+        dtype=params["text"]["norm"]["scale"].dtype,
+    )
     if feats is not None:
         embeds = merge_vision_embeddings(
             embeds, ids, feats, (cfg.video_token_id, cfg.image_token_id), feat_offsets
@@ -201,11 +206,26 @@ class Engine:
         cfg: Qwen25VLConfig,
         dtype=jnp.bfloat16,
         prefill_chunk_tokens: int = PREFILL_CHUNK,
+        quantization: Optional[str] = None,  # None | "int8" | "int4" (weight-only)
     ):
+        if quantization:
+            from ..ops.quant import quantize_params_jit
+
+            params = quantize_params_jit(params, bits={"int8": 8, "int4": 4}[quantization])
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
+        self.quantization = quantization
         self.prefill_chunk_tokens = prefill_chunk_tokens
+
+    def set_params(self, params: dict) -> None:
+        """Swap in live policy weights (GRPO rollouts), re-quantizing when the
+        engine runs a weight-only quantized decode path."""
+        if self.quantization:
+            from ..ops.quant import quantize_params_jit
+
+            params = quantize_params_jit(params, bits={"int8": 8, "int4": 4}[self.quantization])
+        self.params = params
 
     # ------------------------------------------------------------------
     def _pack(self, reqs: Sequence[Request], extra_len: int = 0):

@@ -35,6 +35,7 @@ import numpy as np
 from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
 from ..ops.attention import NEG_INF, mha_reference
+from ..ops.quant import embed_lookup, qmatmul
 from .engine import sample_tokens
 from .params import SamplingParams
 
@@ -123,7 +124,10 @@ def _paged_one_step(
     cos, sin = mrope_cos_sin(tcfg, pos3)
     cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
 
-    x = jnp.take(params["text"]["embed_tokens"]["embedding"], last[:, None], axis=0)
+    x = embed_lookup(
+        params["text"]["embed_tokens"]["embedding"], last[:, None],
+        dtype=params["text"]["norm"]["scale"].dtype,
+    )
     kv_pos = jnp.arange(view_len)[None, :]
     bias = jnp.where(kv_pos <= pool.lengths[:, None], 0.0, NEG_INF).astype(jnp.float32)
     bias = bias[:, None, None, :]
@@ -140,9 +144,9 @@ def _paged_one_step(
         x, pk, pv, li = carry
         lp = scanned
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q = (h @ lp["self_attn"]["q_w"] + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
-        k = (h @ lp["self_attn"]["k_w"] + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
-        v = (h @ lp["self_attn"]["v_w"] + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
+        q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
+        k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
+        v = (qmatmul(h, lp["self_attn"]["v_w"]) + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -155,9 +159,12 @@ def _paged_one_step(
         k_all = jnp.take(layer_k, pool.page_table, axis=0).reshape(slots, view_len, nkv, hd)
         v_all = jnp.take(layer_v, pool.page_table, axis=0).reshape(slots, view_len, nkv, hd)
         attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
-        x = x + attn.reshape(slots, 1, nh * hd) @ lp["self_attn"]["o_w"]
+        x = x + qmatmul(attn.reshape(slots, 1, nh * hd), lp["self_attn"]["o_w"])
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + (jax.nn.silu(h @ lp["mlp"]["gate_w"]) * (h @ lp["mlp"]["up_w"])) @ lp["mlp"]["down_w"]
+        x = x + qmatmul(
+            jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
+            lp["mlp"]["down_w"],
+        )
         return (x, pk, pv, li + 1), None
 
     (x, pk, pv, _), _ = jax.lax.scan(
@@ -226,9 +233,14 @@ class PagedEngine:
         dtype=jnp.bfloat16,
         prefill_chunk_tokens: int = 8192,
         segment: int = 16,
+        quantization: str | None = None,  # None | "int8" (weight-only, ops/quant.py)
     ):
         from .engine import Engine
 
+        if quantization:
+            from ..ops.quant import quantize_params_jit
+
+            params = quantize_params_jit(params, bits={"int8": 8, "int4": 4}[quantization])
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
