@@ -55,3 +55,42 @@ def test_fetch_video_timestamped_window():
     assert full.shape[0] == clip.shape[0] == 4
     # clipped window samples different frames than the full video
     assert not np.array_equal(full, clip)
+
+
+def test_tolerant_decode_matches_strict_on_good_file():
+    """The fallback backend must be a no-op on healthy videos."""
+    from time_r1_tpu.video.decoder import VideoReader
+
+    vr = VideoReader(VIDEO)
+    a = vr.get_batch([0, 5, 10, 10, 3])
+    vr.close()
+    vr = VideoReader(VIDEO)
+    b = vr.get_batch([0, 5, 10, 10, 3], tolerant=True)
+    vr.close()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fetch_video_falls_back_to_tolerant_decode(monkeypatch):
+    """Decode-failure fallback (vision_process.py:362-368 parity): when the
+    strict backend raises, fetch_video must retry the SAME plan with the
+    tolerant backend instead of dropping the item."""
+    from time_r1_tpu.video import decoder as dec
+    from time_r1_tpu.video import pipeline
+
+    calls = []
+    orig = dec.VideoReader.get_batch
+
+    def flaky(self, indices, tolerant=False):
+        calls.append(tolerant)
+        if not tolerant:
+            raise IOError("decode failed (code -5)")
+        return orig(self, indices, tolerant=False)  # healthy file: same frames
+
+    monkeypatch.setattr(dec.VideoReader, "get_batch", flaky)
+    frames, fps = pipeline.fetch_video(
+        {"video": VIDEO, "total_pixels": 8 * 28 * 28, "min_pixels": 4 * 28 * 28,
+         "video_start": 0.0, "video_end": 2.0}
+    )
+    assert calls == [False, True]
+    assert frames.ndim == 4 and frames.shape[1] == 3
+    assert fps > 0

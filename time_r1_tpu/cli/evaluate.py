@@ -50,6 +50,15 @@ def get_args(argv=None):
     )
     p.add_argument("--use_r1_thinking_prompt", action="store_true")
     p.add_argument("--use_vllm_inference", action="store_true", help="accepted for recipe parity")
+    p.add_argument(
+        "--tensor_parallel_size",
+        type=int,
+        default=1,
+        help="shard the model over a TP mesh (vLLM TP parity, vllm_infer.py:50)",
+    )
+    p.add_argument(
+        "--pipeline_parallel_size", type=int, default=1, help="accepted for recipe parity"
+    )
     p.add_argument("--prompt_type", type=str, default="r1")
     p.add_argument("--use_nothink", action="store_true")
     p.add_argument("--use_prepared_video", action="store_true")
@@ -88,6 +97,21 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
 
     if engine is None:
         params, cfg = load_checkpoint(args.model_base)
+        tp = getattr(args, "tensor_parallel_size", 1)
+        if tp > 1:
+            # vLLM-TP parity (vllm_infer.py:50): shard attention heads / MLP
+            # hidden over a pure-TP mesh; 7B eval fits by splitting weights
+            # across chips. GSPMD inserts the collectives.
+            import jax
+
+            from ..parallel import make_mesh, shard_params
+
+            if len(jax.devices()) < tp:
+                raise ValueError(
+                    f"tensor_parallel_size={tp} but only {len(jax.devices())} devices"
+                )
+            mesh = make_mesh(model_parallel=tp, devices=jax.devices()[:tp])
+            params = shard_params(params, mesh)
         engine = Engine(params, cfg)
         processor = Qwen25VLProcessor.from_pretrained(args.model_base)
     if getattr(args, "use_continuous_batching", False):

@@ -95,6 +95,7 @@ def main(argv=None):
         beta=args.beta,
         use_grpo=args.use_grpo,
         fix_vit=args.fix_vit,
+        gradient_checkpointing=args.gradient_checkpointing,
         prompt_type=args.prompt_type,
         logging_steps=args.logging_steps,
         save_steps=args.save_steps,

@@ -103,6 +103,10 @@ def get_args(argv=None):
     p.add_argument("--logging_dir", type=str, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--gradient_checkpointing", type=lambda s: s.lower() == "true", default=True)
+    # PEFT/LoRA (trl ModelConfig flag names the reference consumes via TrlParser)
+    p.add_argument("--use_peft", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=32.0)
     p.add_argument("--attn_implementation", type=str, default="flash")
     p.add_argument("--dataset_name", type=str, default="xxx")
     p.add_argument("--video_folder", type=str, default="xxx")
@@ -122,7 +126,9 @@ def main(args, trainer: GRPOTrainer = None):
             cfg = cfg.with_sliding_window(True, args.sliding_window_length, args.max_window_layers)
         processor = Qwen25VLProcessor.from_pretrained(args.model_name_or_path)
         ref_params = None
-        if args.beta != 0.0:
+        if args.beta != 0.0 and not args.use_peft:
+            # non-peft KL needs a frozen copy; with LoRA the unmerged base IS
+            # the reference model (adapter-disable trick) — no second load
             ref_params, _ = load_checkpoint(args.model_name_or_path)
         config = TrainConfig(
             output_dir=args.output_dir,
@@ -140,6 +146,10 @@ def main(args, trainer: GRPOTrainer = None):
             beta=args.beta,
             use_grpo=args.use_grpo,
             fix_vit=args.fix_vit,
+            gradient_checkpointing=args.gradient_checkpointing,
+            use_peft=args.use_peft,
+            lora_r=args.lora_r,
+            lora_alpha=args.lora_alpha,
             prompt_type=args.prompt_type,
             logging_steps=args.logging_steps,
             save_steps=args.save_steps,
@@ -162,8 +172,11 @@ def main(args, trainer: GRPOTrainer = None):
             ref_params=ref_params,
         )
 
-    # resume: recompute the max-steps target from trainer_state.json
-    # (main.py:589-618 continuation semantics for the SF loop)
+    # resume: recompute AND ENFORCE the max-steps target from
+    # trainer_state.json (main.py:589-618 continuation semantics for the SF
+    # loop: a resumed round trains exactly num_train_epochs' worth of data
+    # beyond the restored step, then stops)
+    max_steps = None
     if args.resume_from_checkpoint:
         state_path = os.path.join(args.resume_from_checkpoint, "trainer_state.json")
         if os.path.exists(state_path):
@@ -173,13 +186,15 @@ def main(args, trainer: GRPOTrainer = None):
             from ..utils.checkpoint import load_params
 
             trainer.params = load_params(args.resume_from_checkpoint, like=trainer.params)
-            n_micro = len(dataset)
-            max_step = math.ceil(
-                trainer.c.num_train_epochs * n_micro / trainer.c.gradient_accumulation_steps
-            )
-            print(f"Resuming from step {resumed_global_step}; will run {max_step} more")
+            trainer.engine.set_params(trainer.params)
+            # global_step counts dataset micro-steps here (one example per
+            # step), so the quota is epochs·len(dataset) more micro-steps —
+            # the same semantics as the reference's update-count arithmetic
+            quota = math.ceil(trainer.c.num_train_epochs * len(dataset))
+            max_steps = resumed_global_step + quota
+            print(f"Resuming from step {resumed_global_step}; will stop at {max_steps}")
 
-    trainer.train(dataset)
+    trainer.train(dataset, max_steps=max_steps)
     trainer.save_checkpoint(args.output_dir)
     return trainer
 

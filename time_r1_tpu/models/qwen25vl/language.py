@@ -147,6 +147,7 @@ def decoder_forward(
     cache: Optional[KVCache] = None,
     use_flash: Optional[bool] = None,
     flash_q_offset: Optional[int] = None,  # STATIC offset enabling flash in the cached prefill
+    remat: bool = False,  # jax.checkpoint per layer (reference --gradient_checkpointing)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
 
@@ -272,8 +273,13 @@ def decoder_forward(
         )
         return x, (new_k, new_v)
 
+    # gradient checkpointing: save each layer's input, recompute attention/MLP
+    # activations in the backward pass — the reference recipes rely on HF's
+    # gradient_checkpointing for the 7B × 8k × G=8 fwd/bwd to fit
+    layer_fn = jax.checkpoint(layer) if remat else layer
+
     if cache is not None:
-        hidden, (ks, vs) = jax.lax.scan(layer, hidden, (layers, sliding, cache.k, cache.v))
+        hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, (layers, sliding, cache.k, cache.v))
         # ks/vs: (L, B, S, Hkv, hd) — just the chunk. One dynamic_update_slice
         # into the (donated) cache buffer: in-place under jit/while-loop.
         new_k = jax.lax.dynamic_update_slice(
@@ -285,7 +291,7 @@ def decoder_forward(
         new_cache = KVCache(k=new_k, v=new_v, length=cache.length + S)
     else:
         dummy = jnp.zeros((cfg.num_hidden_layers, 0), hidden.dtype)
-        hidden, _ = jax.lax.scan(layer, hidden, (layers, sliding, dummy, dummy))
+        hidden, _ = jax.lax.scan(layer_fn, hidden, (layers, sliding, dummy, dummy))
         new_cache = None
 
     hidden = _rms_norm(hidden, params["norm"]["scale"], eps)

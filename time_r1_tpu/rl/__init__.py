@@ -1,5 +1,5 @@
 from .grpo import GRPOBatch, GRPOHyperParams, compute_group_advantages, grpo_loss, make_train_step
-from .rollout import build_grpo_batch
+from .rollout import build_grpo_batch, build_grpo_batch_groups
 from .trainer import GRPOTrainer, TrainConfig, make_conversation_video
 
 __all__ = [
@@ -9,6 +9,7 @@ __all__ = [
     "grpo_loss",
     "make_train_step",
     "build_grpo_batch",
+    "build_grpo_batch_groups",
     "GRPOTrainer",
     "TrainConfig",
     "make_conversation_video",

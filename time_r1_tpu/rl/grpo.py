@@ -41,6 +41,7 @@ class GRPOHyperParams:
     use_grpo: bool = False  # False → PPO-clip (reference default path)
     logp_chunk: int = 128  # sequence chunk for log_softmax memory bound
     fix_vit: bool = True  # freeze ViT except merger (timer1_trainer.py:272-288)
+    gradient_checkpointing: bool = False  # jax.checkpoint per decoder layer
 
 
 class GRPOBatch(NamedTuple):
@@ -63,7 +64,9 @@ def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.nd
     return ((r - mean) / (std + 1e-4)).reshape(-1)
 
 
-def _hidden_states(params, cfg: Qwen25VLConfig, batch: GRPOBatch) -> jnp.ndarray:
+def _hidden_states(
+    params, cfg: Qwen25VLConfig, batch: GRPOBatch, remat: bool = False
+) -> jnp.ndarray:
     """Embed + merge vision + run decoder → final hidden (B, T, H)."""
     embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], batch.input_ids, axis=0)
     if batch.vision is not None:
@@ -77,7 +80,7 @@ def _hidden_states(params, cfg: Qwen25VLConfig, batch: GRPOBatch) -> jnp.ndarray
         )
     hidden, _ = decoder_forward(
         params["text"], cfg.text, embeds, batch.position_ids,
-        attention_mask=batch.attention_mask,
+        attention_mask=batch.attention_mask, remat=remat,
     )
     return hidden
 
@@ -133,7 +136,7 @@ def grpo_loss(
     params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOBatch
 ) -> tuple[jnp.ndarray, dict]:
     """Loss + metrics for one batch. Differentiable in `params`."""
-    hidden = _hidden_states(params, cfg, batch)
+    hidden = _hidden_states(params, cfg, batch, remat=hp.gradient_checkpointing)
     logps, entropy = per_token_logps_entropy(
         params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
     )
@@ -218,6 +221,37 @@ def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_sta
     # ref-weights trick) may hold references to the previous params pytree.
     # The trainer re-binds its references each step, so peak memory is
     # bounded by XLA's buffer reuse regardless.
+    if opt_state_sharding is not None:
+        return jax.jit(train_step, out_shardings=(None, opt_state_sharding, None, None))
+    return jax.jit(train_step)
+
+
+def make_lora_train_step(
+    cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, lora_cfg, opt_state_sharding=None
+):
+    """LoRA train step (N9 parity: peft wrapping, timer1_trainer.py:264-265):
+    (base_params, lora, opt_state, batch) → (lora, opt_state, loss, metrics).
+
+    Only the adapter pytree is differentiated/updated; the base stays frozen
+    (so fix_vit zeroing is unnecessary — adapters for the vision tower are
+    filtered out at init when fix_vit is set). The forward runs on the
+    functionally merged weights W + (α/r)·A@B."""
+    from .lora import merge_lora
+
+    def train_step(base_params, lora, opt_state, batch: GRPOBatch):
+        def loss_fn(lora):
+            merged = merge_lora(base_params, lora, lora_cfg)
+            return grpo_loss(merged, cfg, hp, batch)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = jax.tree.map(lambda p, u: p + u, lora, updates)
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+        )
+        metrics = dict(metrics, grad_norm=gnorm, loss=loss)
+        return lora, opt_state, loss, metrics
+
     if opt_state_sharding is not None:
         return jax.jit(train_step, out_shardings=(None, opt_state_sharding, None, None))
     return jax.jit(train_step)

@@ -36,49 +36,100 @@ def build_grpo_batch(
     pad_to: Optional[int] = None,
     dtype=jnp.bfloat16,
 ) -> GRPOBatch:
-    """Assemble the (G, T) train batch for one prompt's rollout group.
+    """Assemble the (G, T) train batch for one prompt's rollout group
+    (the reference's per_device_train_batch_size=1 shape, SURVEY §3.1)."""
+    return build_grpo_batch_groups(
+        cfg,
+        [
+            {
+                "prompt_ids": prompt_ids,
+                "completions": completions,
+                "advantages": advantages,
+                "patches": patches,
+                "grid_thw": grid_thw,
+                "second_per_grid_t": second_per_grid_t,
+            }
+        ],
+        pad_to=pad_to,
+        dtype=dtype,
+    )
 
-    The reference effectively supports per_device_train_batch_size=1 with
-    G = num_generations rows (SURVEY §3.1 quirk) — same layout here."""
-    G = len(completions)
-    P = len(prompt_ids)
-    Cmax = max((len(c) for c in completions), default=1)
-    T = pad_to or _bucket(P + Cmax)
-    assert T >= P + Cmax
 
-    ids = np.full((G, T), cfg.pad_token_id, np.int64)
-    attn = np.zeros((G, T), np.int64)
-    comp_mask = np.zeros((G, T), np.int64)
-    lead = T - (P + Cmax)  # left-pad so prompts align identically
-    for g, comp in enumerate(completions):
-        ids[g, lead : lead + P] = prompt_ids
-        attn[g, lead : lead + P] = 1
-        L = len(comp)
-        ids[g, lead + P : lead + P + L] = comp
-        # completion mask: ≤ first eos (reference: all-ones when no eos)
-        eos_pos = next((i for i, t in enumerate(comp) if t == cfg.eos_token_id), None)
-        span = L if eos_pos is None else eos_pos + 1
-        comp_mask[g, lead + P : lead + P + span] = 1
-        attn[g, lead + P : lead + P + L] = 1
+def build_grpo_batch_groups(
+    cfg: Qwen25VLConfig,
+    groups: Sequence[dict],
+    pad_to: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> GRPOBatch:
+    """Example-level data-parallel batch: P prompt groups × G rollouts each →
+    (P·G, T) rows, group-major. Each group dict carries prompt_ids,
+    completions (G lists), advantages (G,), and optional patches/grid_thw/
+    second_per_grid_t for its video.
 
-    video_grid_thw = np.array([grid_thw], np.int64) if grid_thw is not None else None
+    This is the TPU equivalent of the reference's torchrun DP (one example
+    per rank per step, effective batch N×G — scripts/posttrain/train_rl.sh:
+    12-17): the mesh `data` axis shards the P·G rows, so effective batch
+    scales with chips while advantages stay normalized within each group."""
+    P_groups = len(groups)
+    assert P_groups >= 1
+    need = 0
+    for g in groups:
+        Cmax = max((len(c) for c in g["completions"]), default=1)
+        need = max(need, len(g["prompt_ids"]) + Cmax)
+    T = pad_to or _bucket(need)
+    assert T >= need
+
+    rows_ids, rows_attn, rows_comp, rows_adv = [], [], [], []
+    grids, spgs, patch_list = [], [], []
+    for g in groups:
+        prompt_ids = list(g["prompt_ids"])
+        P = len(prompt_ids)
+        completions = g["completions"]
+        Cmax = max((len(c) for c in completions), default=1)
+        lead = T - (P + Cmax)  # left-pad so the group's prompts align
+        for comp in completions:
+            ids = np.full((T,), cfg.pad_token_id, np.int64)
+            attn = np.zeros((T,), np.int64)
+            comp_mask = np.zeros((T,), np.int64)
+            ids[lead : lead + P] = prompt_ids
+            attn[lead : lead + P] = 1
+            L = len(comp)
+            ids[lead + P : lead + P + L] = comp
+            # completion mask: ≤ first eos (reference: all-ones when no eos)
+            eos_pos = next((i for i, t in enumerate(comp) if t == cfg.eos_token_id), None)
+            span = L if eos_pos is None else eos_pos + 1
+            comp_mask[lead + P : lead + P + span] = 1
+            attn[lead + P : lead + P + L] = 1
+            rows_ids.append(ids)
+            rows_attn.append(attn)
+            rows_comp.append(comp_mask)
+            if g.get("grid_thw") is not None:
+                grids.append(tuple(int(x) for x in g["grid_thw"]))
+                spgs.append(float(g.get("second_per_grid_t", 1.0)))
+                patch_list.append(g["patches"])
+        rows_adv.append(np.asarray(g["advantages"], np.float32))
+
+    ids = np.stack(rows_ids)
+    attn = np.stack(rows_attn)
+    comp_mask = np.stack(rows_comp)
+    advantages = np.concatenate(rows_adv)
+
     # completion tokens are plain text: get_rope_index continues all axes
     pos_ids, _ = get_rope_index(
         cfg,
         ids,
-        video_grid_thw=np.repeat(video_grid_thw, G, axis=0) if video_grid_thw is not None else None,
-        second_per_grid_ts=[second_per_grid_t] * G if grid_thw is not None else None,
+        video_grid_thw=np.array(grids, np.int64) if grids else None,
+        second_per_grid_ts=spgs if spgs else None,
         attention_mask=attn,
     )
 
     vis = None
-    if patches is not None:
-        grids = [tuple(int(x) for x in grid_thw)] * G
+    if patch_list:
+        patches = np.concatenate(patch_list, axis=0)  # row-major feature order
         unit = cfg.vision.merge_unit
-        n = patches.shape[0] * G
-        pad_patches = ((_bucket(n, 256) + unit - 1) // unit) * unit
+        pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
         prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)
-        vis = VisionInputs.build(prep, jnp.asarray(np.tile(patches, (G, 1)), dtype))
+        vis = VisionInputs.build(prep, jnp.asarray(patches, dtype))
 
     return GRPOBatch(
         input_ids=jnp.asarray(ids),

@@ -31,8 +31,14 @@ from ..models.processor import Qwen25VLProcessor
 from ..models.qwen25vl import Qwen25VLConfig
 from ..utils.rewards import METRIC_FUNCS_REGISTRY, REWARD_FUNCS_REGISTRY
 from ..sampler import Engine, Request, SamplingParams
-from .grpo import GRPOHyperParams, compute_group_advantages, compute_ref_logps, make_train_step
-from .rollout import build_grpo_batch
+from .grpo import (
+    GRPOHyperParams,
+    compute_group_advantages,
+    compute_ref_logps,
+    make_lora_train_step,
+    make_train_step,
+)
+from .rollout import build_grpo_batch_groups
 
 SYSTEM_PROMPT = "You are a video analysis expert."
 
@@ -92,6 +98,11 @@ class TrainConfig:
     beta: float = 0.04
     use_grpo: bool = False
     fix_vit: bool = True
+    gradient_checkpointing: bool = False  # jax.checkpoint per decoder layer
+    # LoRA (N9: peft_config surface, timer1_trainer.py:184-206; trl ModelConfig names)
+    use_peft: bool = False
+    lora_r: int = 16
+    lora_alpha: float = 32.0
     prompt_type: str = "v1"
     total_pixels: int = 3584 * 28 * 28
     min_pixels: int = 16 * 28 * 28
@@ -165,6 +176,25 @@ class GRPOTrainer:
             if ref_params is not None:
                 ref_params = shard_params(ref_params, mesh)
         self.params = params
+        # LoRA: adapters as a separate pytree; base stays frozen. When beta≠0
+        # the UNMERGED base doubles as the reference model — the peft
+        # adapter-disable trick (timer1_trainer.py:624-631), zero extra HBM
+        # (vs the non-peft path's second full checkpoint).
+        self.lora = None
+        self._merge_jit = None
+        if config.use_peft:
+            from .lora import LoRAConfig, init_lora, merge_lora
+
+            self.lora_cfg = LoRAConfig(rank=config.lora_r, alpha=config.lora_alpha)
+            lora = init_lora(params, self.lora_cfg, jax.random.PRNGKey(config.seed), dtype=jnp.float32)
+            if config.fix_vit:
+                lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
+            self.lora = lora
+            self._merge_jit = jax.jit(
+                lambda base, ad: merge_lora(base, ad, self.lora_cfg)
+            )
+            if config.beta != 0.0 and ref_params is None:
+                ref_params = params
         self.ref_params = ref_params if config.beta != 0.0 else None
         self.engine = Engine(params, cfg, dtype=dtype)
 
@@ -173,6 +203,7 @@ class GRPOTrainer:
             beta=config.beta,
             use_grpo=config.use_grpo,
             fix_vit=config.fix_vit,
+            gradient_checkpointing=config.gradient_checkpointing,
         )
         self._setup_optimizer(config.learning_rate)
         self._metrics: dict[str, list] = {}
@@ -214,7 +245,8 @@ class GRPOTrainer:
             self.optimizer = optax.MultiSteps(
                 self.optimizer, every_k_schedule=config.gradient_accumulation_steps
             )
-        self.opt_state = self.optimizer.init(self.params)
+        trainable = self.lora if self.lora is not None else self.params
+        self.opt_state = self.optimizer.init(trainable)
         opt_sharding = None
         if config.offload_optimizer:
             try:
@@ -224,9 +256,14 @@ class GRPOTrainer:
                 opt_sharding = jax.tree.map(lambda _: host, self.opt_state)
             except Exception as e:
                 print(f"[trainer] optimizer host-offload unavailable on this backend: {e}")
-        self._train_step = make_train_step(
-            self.cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding
-        )
+        if self.lora is not None:
+            self._train_step = make_lora_train_step(
+                self.cfg, self.hp, self.optimizer, self.lora_cfg, opt_state_sharding=opt_sharding
+            )
+        else:
+            self._train_step = make_train_step(
+                self.cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding
+            )
 
     # ------------------------------------------------------------------
     def _log_metric(self, key: str, value: float):
@@ -235,93 +272,123 @@ class GRPOTrainer:
     def pop_metrics(self) -> dict:
         out = {k: sum(v) / len(v) for k, v in self._metrics.items() if v}
         self._metrics.clear()
+        if jax.process_count() > 1:
+            out = self._gather_metrics(out)
         return out
 
+    @staticmethod
+    def _gather_metrics(metrics: dict) -> dict:
+        """Cross-process metric mean — `accelerator.gather_for_metrics` parity
+        (timer1_trainer.py:741-777). Keys must match across processes (they
+        do: every rank runs the same reward/metric registry)."""
+        from jax.experimental import multihost_utils
+
+        keys = sorted(metrics.keys())
+        local = np.asarray([metrics[k] for k in keys], np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        return {k: float(gathered[:, i].mean()) for i, k in enumerate(keys)}
+
     # ------------------------------------------------------------------
-    def step(self, example: dict) -> dict:
-        """One optimizer micro-step on one dataset example (bs=1 × G rollouts)."""
+    def _load_frames(self, example: dict):
+        """Video frames: offline-preprocessed arrays when available
+        (finetune.py:588-623 path), else live decode + budgeted resize."""
         c = self.c
-        # 1. video frames: offline-preprocessed arrays when available
-        # (finetune.py:588-623 path), else live decode + budgeted resize
         pp = example.get("preprocessed_path") or ""
         if pp and os.path.exists(os.path.join(pp, "video.npz")):
             z = np.load(os.path.join(pp, "video.npz"))
-            frames, sample_fps = z["video"].astype(np.float32), float(z["fps"])
-        else:
-            ele = {
-                "video": example["video_path"],
-                "total_pixels": c.total_pixels,
-                "min_pixels": c.min_pixels,
-            }
-            if example.get("video_start") is not None:
-                ele["video_start"] = example["video_start"]
-            if example.get("video_end") is not None:
-                ele["video_end"] = example["video_end"]
-            frames, sample_fps = self.video_loader(ele)
-
-        # 2. prompt construction + processor
-        conv = make_conversation_video(example, c.prompt_type, c.total_pixels, c.min_pixels)
-        prompt_text = self.processor.apply_chat_template(conv, add_generation_prompt=True)
-        proc = self.processor(text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps])
-        prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
-        grid = tuple(int(x) for x in proc.video_grid_thw[0])
-        spg = proc.second_per_grid_ts[0]
-
-        # 3. G rollouts with the live policy
-        sp = SamplingParams(
-            temperature=c.temperature,
-            max_new_tokens=c.max_completion_length,
-            stop_token_ids=(self.cfg.eos_token_id,),
-            num_return_sequences=c.num_generations,
-            seed=int(self._rng.integers(0, 2**31 - 1)),
-        )
-        self.engine.set_params(self.params)  # live weights (re-quantized if enabled)
-        with self.timers.phase("rollout"):
-            completions = self.engine.generate(
-                [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
-            )
-        completion_texts = self.processor.batch_decode(
-            [self._strip_stop(cmp) for cmp in completions], skip_special_tokens=True
-        )
-
-        # 4. rewards (host) + advantages
-        G = c.num_generations
-        reward_kwargs = {
-            k: [example[k]] * G for k in example.keys() if k not in ("prompt", "completion")
+            return z["video"].astype(np.float32), float(z["fps"])
+        ele = {
+            "video": example["video_path"],
+            "total_pixels": c.total_pixels,
+            "min_pixels": c.min_pixels,
         }
-        rewards_per_func = np.zeros((G, len(self.reward_funcs)), np.float32)
-        for i, fn in enumerate(self.reward_funcs):
-            out = fn(completions=completion_texts, **reward_kwargs)
-            rewards_per_func[:, i] = [0.0 if r is None else float(r) for r in out]
-        rewards = rewards_per_func.sum(axis=1)
-        if self._debug_log.enabled:
-            for g in range(G):
-                self._debug_log.log_reward(
-                    completion_texts[g], None, example.get("solution"), float(rewards[g])
+        if example.get("video_start") is not None:
+            ele["video_start"] = example["video_start"]
+        if example.get("video_end") is not None:
+            ele["video_end"] = example["video_end"]
+        return self.video_loader(ele)
+
+    def step(self, example: dict) -> dict:
+        """One optimizer micro-step on one dataset example (bs=1 × G rollouts,
+        the reference's per-rank shape)."""
+        return self.step_batch([example])
+
+    def step_batch(self, examples: Sequence[dict]) -> dict:
+        """One optimizer micro-step on P examples (example-level DP: batch =
+        P×G rows, advantages normalized within each example's G-group — the
+        reference's torchrun-N-ranks effective batch, scaled by the mesh
+        `data` axis instead of processes)."""
+        c = self.c
+        G = c.num_generations
+        groups, rewards_all = [], []
+        for example in examples:
+            frames, sample_fps = self._load_frames(example)
+
+            conv = make_conversation_video(example, c.prompt_type, c.total_pixels, c.min_pixels)
+            prompt_text = self.processor.apply_chat_template(conv, add_generation_prompt=True)
+            proc = self.processor(text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps])
+            prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
+            grid = tuple(int(x) for x in proc.video_grid_thw[0])
+            spg = proc.second_per_grid_ts[0]
+
+            sp = SamplingParams(
+                temperature=c.temperature,
+                max_new_tokens=c.max_completion_length,
+                stop_token_ids=(self.cfg.eos_token_id,),
+                num_return_sequences=G,
+                seed=int(self._rng.integers(0, 2**31 - 1)),
+            )
+            # live weights (LoRA: functionally merged; re-quantized if enabled)
+            self.engine.set_params(self._policy_params())
+            with self.timers.phase("rollout"):
+                completions = self.engine.generate(
+                    [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
                 )
-        advantages = compute_group_advantages(rewards, G)
+            completion_texts = self.processor.batch_decode(
+                [self._strip_stop(cmp) for cmp in completions], skip_special_tokens=True
+            )
 
-        for i, fn in enumerate(self.reward_funcs):
-            self._log_metric(f"rewards/{fn.__name__}", rewards_per_func[:, i].mean())
-        for fn in self.metric_funcs:
-            vals = fn(completions=completion_texts, **reward_kwargs)
-            vals = [v for v in vals if v is not None]
-            if vals:
-                self._log_metric(f"metrics/{fn.__name__}", float(np.mean(vals)))
-        self._log_metric("reward", rewards.mean())
-        self._log_metric("reward_std", rewards.reshape(-1, G).std(axis=1, ddof=1).mean())
+            # rewards (host) for this example's group
+            reward_kwargs = {
+                k: [example[k]] * G for k in example.keys() if k not in ("prompt", "completion")
+            }
+            rewards_per_func = np.zeros((G, len(self.reward_funcs)), np.float32)
+            for i, fn in enumerate(self.reward_funcs):
+                out = fn(completions=completion_texts, **reward_kwargs)
+                rewards_per_func[:, i] = [0.0 if r is None else float(r) for r in out]
+            rewards = rewards_per_func.sum(axis=1)
+            if self._debug_log.enabled:
+                for g in range(G):
+                    self._debug_log.log_reward(
+                        completion_texts[g], None, example.get("solution"), float(rewards[g])
+                    )
+            for i, fn in enumerate(self.reward_funcs):
+                self._log_metric(f"rewards/{fn.__name__}", rewards_per_func[:, i].mean())
+            for fn in self.metric_funcs:
+                vals = fn(completions=completion_texts, **reward_kwargs)
+                vals = [v for v in vals if v is not None]
+                if vals:
+                    self._log_metric(f"metrics/{fn.__name__}", float(np.mean(vals)))
+            rewards_all.append(rewards)
+            groups.append(
+                {
+                    "prompt_ids": prompt_ids,
+                    "completions": completions,
+                    "patches": proc.pixel_values_videos,
+                    "grid_thw": grid,
+                    "second_per_grid_t": spg,
+                }
+            )
 
-        # 5. assemble batch + ref logps + update
-        batch = build_grpo_batch(
-            self.cfg,
-            prompt_ids,
-            completions,
-            advantages,
-            patches=proc.pixel_values_videos,
-            grid_thw=grid,
-            second_per_grid_t=spg,
-            dtype=self.dtype,
-        )
+        rewards_all = np.concatenate(rewards_all)
+        advantages = compute_group_advantages(rewards_all, G)
+        for i, g in enumerate(groups):
+            g["advantages"] = advantages[i * G : (i + 1) * G]
+        self._log_metric("reward", rewards_all.mean())
+        self._log_metric("reward_std", rewards_all.reshape(-1, G).std(axis=1, ddof=1).mean())
+
+        # assemble batch + ref logps + update
+        batch = build_grpo_batch_groups(self.cfg, groups, dtype=self.dtype)
         if self.mesh is not None:
             batch = self._shard_batch(batch)
         if self.ref_params is not None:
@@ -330,13 +397,18 @@ class GRPOTrainer:
             batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
 
         with self.timers.phase("train_step"):
-            self.params, self.opt_state, loss, metrics = self._train_step(
-                self.params, self.opt_state, batch
-            )
+            if self.lora is not None:
+                self.lora, self.opt_state, loss, metrics = self._train_step(
+                    self.params, self.lora, self.opt_state, batch
+                )
+            else:
+                self.params, self.opt_state, loss, metrics = self._train_step(
+                    self.params, self.opt_state, batch
+                )
         for k, v in metrics.items():
             self._log_metric(k, float(v))
         self.global_step += 1
-        return {"loss": float(loss), "reward": float(rewards.mean())}
+        return {"loss": float(loss), "reward": float(rewards_all.mean())}
 
     def _shard_batch(self, batch):
         """Shard the G rollout rows over the data axis (dp over rollouts)."""
@@ -357,15 +429,34 @@ class GRPOTrainer:
             ),
         )
 
+    def _policy_params(self) -> dict:
+        """Current policy weights: base, or base functionally merged with the
+        live adapters (rollouts and checkpoints see the merged model)."""
+        if self.lora is not None:
+            return self._merge_jit(self.params, self.lora)
+        return self.params
+
     def _strip_stop(self, comp):
         # decode for rewards without the stop token (skip_special_tokens parity)
         return [t for t in comp if t != self.cfg.eos_token_id]
 
     # ------------------------------------------------------------------
-    def train(self, dataset: Sequence[dict], log_fn: Optional[Callable] = None):
-        """Epoch loop with per-epoch checkpointing and early stopping."""
+    def train(
+        self,
+        dataset: Sequence[dict],
+        log_fn: Optional[Callable] = None,
+        max_steps: Optional[int] = None,
+    ):
+        """Epoch loop with per-epoch checkpointing and early stopping.
+
+        max_steps (in global_step units, i.e. dataset micro-steps): hard stop
+        for resume continuation — the reference recomputes and ENFORCES
+        max_steps from trainer_state.json on resume (main.py:589-618) so an
+        SF-loop round trains exactly its quota and no more."""
         c = self.c
-        steps_per_epoch = math.ceil(len(dataset) / c.gradient_accumulation_steps)
+        n_local = math.ceil(len(dataset) / max(jax.process_count(), 1))
+        micro_per_epoch = math.ceil(n_local / max(int(c.per_device_train_batch_size), 1))
+        steps_per_epoch = math.ceil(micro_per_epoch / c.gradient_accumulation_steps)
         n_epochs = 1 if c.is_early_stopping else int(math.ceil(c.num_train_epochs))
         if c.lr_scheduler_type == "linear":
             # HF Trainer default: linear warmup (warmup_ratio) then decay to 0
@@ -381,9 +472,18 @@ class GRPOTrainer:
                 boundaries=[warmup],
             ) if warmup else optax.linear_schedule(c.learning_rate, 0.0, total_updates)
             self._setup_optimizer(schedule)
+        # multi-process DP: each process trains its own dataset shard (the
+        # reference's torchrun per-rank dataloader split); metric gathering
+        # happens in pop_metrics via _gather_metrics
+        shard = dataset
+        if jax.process_count() > 1:
+            shard = list(dataset)[jax.process_index() :: jax.process_count()]
+        bs = max(int(c.per_device_train_batch_size), 1)
         for epoch in range(n_epochs):
-            for example in dataset:
-                info = self.step(example)
+            for i in range(0, len(shard), bs):
+                if max_steps is not None and self.global_step >= max_steps:
+                    return
+                info = self.step_batch(shard[i : i + bs])
                 if self.global_step % c.logging_steps == 0:
                     logs = {"epoch": epoch, "step": self.global_step, **self.pop_metrics()}
                     if self._tb is not None:
@@ -400,7 +500,18 @@ class GRPOTrainer:
         from ..utils.checkpoint import save_params
 
         os.makedirs(path, exist_ok=True)
-        save_params(path, self.params)
+        # LoRA runs save the MERGED model (checkpoints stay HF-exportable and
+        # resumable on the non-peft path) plus the raw adapters alongside
+        save_params(path, self._policy_params())
+        if self.lora is not None:
+            np.savez(
+                os.path.join(path, "lora_adapters.npz"),
+                **{
+                    f"{p}::{n}": np.asarray(v)
+                    for p, ab in self.lora.items()
+                    for n, v in ab.items()
+                },
+            )
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"global_step": self.global_step}, f)
         from ..models.qwen25vl.convert import config_to_plain_dict

@@ -60,6 +60,8 @@ def _lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.vd_get_batch_tolerant.restype = ctypes.c_int
+        lib.vd_get_batch_tolerant.argtypes = lib.vd_get_batch.argtypes
         lib.vd_close.restype = None
         lib.vd_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
@@ -92,16 +94,23 @@ class VideoReader:
     def get_avg_fps(self) -> float:
         return self._fps
 
-    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+    def get_batch(self, indices: Sequence[int], tolerant: bool = False) -> np.ndarray:
         """Decode frames at `indices` → (T, H, W, 3) uint8 RGB.
 
         Indices are clamped to the real frame count; indices past EOF reuse
-        the last decoded frame (decord-like tolerance for imprecise counts)."""
+        the last decoded frame (decord-like tolerance for imprecise counts).
+
+        tolerant=True selects the FALLBACK decode backend (the reference's
+        decord→torchvision per-video fallback, vision_process.py:362-368):
+        corrupt frames are skipped by the native decoder and backfilled here
+        from the nearest good frame, so partially-corrupt videos degrade
+        instead of failing."""
         idx = np.asarray(sorted(set(int(i) for i in indices)), np.int64)
         idx = np.clip(idx, 0, max(self._n - 1, 0))
         idx = np.unique(idx)
         out = np.zeros((len(idx), self.height, self.width, 3), np.uint8)
-        ret = _lib().vd_get_batch(
+        fn = _lib().vd_get_batch_tolerant if tolerant else _lib().vd_get_batch
+        ret = fn(
             self._h,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(idx),
@@ -110,14 +119,19 @@ class VideoReader:
         if ret < 0:
             raise IOError(f"decode failed (code {ret})")
         if ret == 1:
-            # some requested frames were past the actual EOF: backfill with
-            # the last successfully decoded frame
+            # some requested frames were missed (past EOF, or dropped by the
+            # tolerant decoder): backfill each from the previous good frame
+            # (leading gaps from the first good one)
             decoded = np.where(out.reshape(len(idx), -1).any(axis=1))[0]
             if len(decoded) == 0:
                 raise IOError("no frames decoded")
-            last = decoded[-1]
-            for i in range(last + 1, len(idx)):
-                out[i] = out[last]
+            first = decoded[0]
+            good = first
+            for i in range(len(idx)):
+                if out[i].any():
+                    good = i
+                else:
+                    out[i] = out[good if i > first else first]
         # map back to the (possibly duplicated, clamped) requested order
         lookup = {int(v): i for i, v in enumerate(idx)}
         req = np.clip(np.asarray([int(i) for i in indices], np.int64), 0, max(self._n - 1, 0))

@@ -124,7 +124,14 @@ void* vd_open(const char* path, int64_t* n_frames, double* avg_fps, int* height,
 
 // Decode frames at `indices` (ascending, may repeat) into `out`
 // (n × height × width × 3, RGB24 uint8). Returns 0 on success.
-int vd_get_batch(void* handle, const int64_t* indices, int64_t n, uint8_t* out) {
+//
+// `tolerant` != 0 selects the FALLBACK decode mode (the second backend the
+// reference gets from torchvision, vision_process.py:362-368): per-frame
+// decode errors are skipped instead of aborting the batch, and missing
+// frames are backfilled by the caller from the last good frame — a
+// partially-corrupt video degrades instead of dropping the eval item.
+static int get_batch_impl(void* handle, const int64_t* indices, int64_t n, uint8_t* out,
+                          int tolerant) {
   Decoder* d = static_cast<Decoder*>(handle);
   if (!d || n <= 0) return -1;
 
@@ -185,6 +192,16 @@ int vd_get_batch(void* handle, const int64_t* indices, int64_t n, uint8_t* out) 
         goto done;
       }
       if (rr < 0) {
+        if (tolerant) {
+          // corrupt frame: drop it, keep the cursor honest, decode on;
+          // indices that wanted the dropped frame become unservable — skip
+          // them (their output rows stay zeroed for the caller to backfill)
+          avcodec_flush_buffers(d->codec);
+          d->next_frame++;
+          while (want < n && indices[want] < d->next_frame) want++;
+          ret = 1;
+          break;
+        }
         ret = -5;
         goto done;
       }
@@ -202,6 +219,14 @@ done:
   av_packet_free(&pkt);
   // ret==1: some indices past EOF — caller clamps (duplicates last frame)
   return ret;
+}
+
+int vd_get_batch(void* handle, const int64_t* indices, int64_t n, uint8_t* out) {
+  return get_batch_impl(handle, indices, n, out, 0);
+}
+
+int vd_get_batch_tolerant(void* handle, const int64_t* indices, int64_t n, uint8_t* out) {
+  return get_batch_impl(handle, indices, n, out, 1);
 }
 
 void vd_close(void* handle) {

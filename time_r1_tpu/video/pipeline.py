@@ -63,7 +63,16 @@ def fetch_video(ele: dict) -> Tuple[np.ndarray, float]:
     vr = VideoReader(ele["video"])
     try:
         plan = plan_frame_window(ele, total_frames=len(vr), video_fps=vr.get_avg_fps())
-        frames = vr.get_batch(list(plan.indices))  # (T, H, W, C) uint8
+        try:
+            frames = vr.get_batch(list(plan.indices))  # (T, H, W, C) uint8
+        except IOError as e:
+            # per-video backend fallback (vision_process.py:362-368 parity):
+            # re-open and decode in the tolerant mode that skips corrupt
+            # frames and backfills, instead of dropping the item
+            print(f"video decode failed ({e}), retrying with tolerant backend: {ele['video']}")
+            vr.close()
+            vr = VideoReader(ele["video"])
+            frames = vr.get_batch(list(plan.indices), tolerant=True)
     finally:
         vr.close()
 
