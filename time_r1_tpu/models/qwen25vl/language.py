@@ -214,10 +214,6 @@ def decoder_forward(
         and cache.k.shape[2] % 128 == 0
         and flash_q_offset % 128 == 0
     )
-    # NOTE: a fused Pallas decode-attention kernel exists
-    # (ops/decode_attention.py) but measured SLOWER in the decode loop than
-    # the XLA path (per-call cache layout conversions dominate its win);
-    # revisit with an HBM/DMA-resident design — see docs/ROADMAP.md.
     if flash or flash_cached:
         kv_len = S if cache is None else cache.k.shape[2]
         if attention_mask is not None:

@@ -161,36 +161,45 @@ class ContinuousEngine:
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
     # ------------------------------------------------------------------
-    def _admit(self, state: SlotState, slot: int, req: Request, sp: SamplingParams, req_idx: int = 0):
-        """Prefill one request and scatter its KV into `slot`. Returns
-        (state, first_token)."""
+    def _admit_many(self, state: SlotState, admits, sp: SamplingParams):
+        """ONE batched prefill for all pending admissions, KV scattered into
+        each target slot. Batching admissions keeps the pool's stall per
+        scheduling wave to a single prefill instead of one per request (the
+        reference's engine interleaves via max_num_batched_tokens; a batched
+        admission is the same budget spent at wave granularity).
+
+        admits: [(slot, req_idx, Request)]. Returns (state, [first_token])."""
         eng = self._prefill_engine
         eng.params = self.params
-        ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack([req], extra_len=0)
+        reqs = [r for _, _, r in admits]
+        ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack(reqs, extra_len=0)
         first_logits, cache = eng._prefill(ids, mask, pos_ids, vis, S, S)
-        rng = jax.random.fold_in(jax.random.PRNGKey(sp.seed if sp.seed is not None else 0), req_idx)
-        first = int(np.asarray(sample_tokens(jnp.asarray(first_logits), rng, sp))[0])
-
-        L_prompt = len(req.input_ids)
-        lead = S - L_prompt  # left padding in the per-request cache
-        k = jax.lax.dynamic_slice_in_dim(cache.k[:, 0], lead, L_prompt, axis=1)
-        v = jax.lax.dynamic_slice_in_dim(cache.v[:, 0], lead, L_prompt, axis=1)
-        new_k = jax.lax.dynamic_update_slice(
-            state.k, k[:, None].astype(state.k.dtype), (0, slot, 0, 0, 0)
-        )
-        new_v = jax.lax.dynamic_update_slice(
-            state.v, v[:, None].astype(state.v.dtype), (0, slot, 0, 0, 0)
-        )
-        state = state._replace(
-            k=new_k,
-            v=new_v,
-            lengths=state.lengths.at[slot].set(L_prompt),
-            last=state.last.at[slot].set(first),
-            start_pos=state.start_pos.at[slot].set(int(start_pos[0])),
-            done=state.done.at[slot].set(False),
-            steps=state.steps.at[slot].set(0),
-        )
-        return state, first
+        seed0 = sp.seed if sp.seed is not None else 0
+        firsts = []
+        for row, (slot, req_idx, req) in enumerate(admits):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed0), req_idx)
+            first = int(np.asarray(sample_tokens(jnp.asarray(first_logits[row : row + 1]), rng, sp))[0])
+            L_prompt = len(req.input_ids)
+            lead = S - L_prompt  # left padding in the batched prefill cache
+            k = jax.lax.dynamic_slice_in_dim(cache.k[:, row], lead, L_prompt, axis=1)
+            v = jax.lax.dynamic_slice_in_dim(cache.v[:, row], lead, L_prompt, axis=1)
+            new_k = jax.lax.dynamic_update_slice(
+                state.k, k[:, None].astype(state.k.dtype), (0, slot, 0, 0, 0)
+            )
+            new_v = jax.lax.dynamic_update_slice(
+                state.v, v[:, None].astype(state.v.dtype), (0, slot, 0, 0, 0)
+            )
+            state = state._replace(
+                k=new_k,
+                v=new_v,
+                lengths=state.lengths.at[slot].set(L_prompt),
+                last=state.last.at[slot].set(first),
+                start_pos=state.start_pos.at[slot].set(int(start_pos[row])),
+                done=state.done.at[slot].set(False),
+                steps=state.steps.at[slot].set(0),
+            )
+            firsts.append(first)
+        return state, firsts
 
     # ------------------------------------------------------------------
     def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
@@ -217,7 +226,8 @@ class ContinuousEngine:
         rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
 
         while len(results) < n_total:
-            # admit into free slots
+            # admit into free slots (ONE batched prefill per wave)
+            admits = []
             for slot in range(self.max_slots):
                 if slot_req[slot] is None and queue:
                     idx, req = queue.popleft()
@@ -225,7 +235,10 @@ class ContinuousEngine:
                         raise ValueError(
                             f"request length {len(req.input_ids)}+{sp.max_new_tokens} exceeds max_len {self.max_len}"
                         )
-                    state, first = self._admit(state, slot, req, sp, req_idx=idx)
+                    admits.append((slot, idx, req))
+            if admits:
+                state, firsts = self._admit_many(state, admits, sp)
+                for (slot, idx, req), first in zip(admits, firsts):
                     slot_req[slot] = idx
                     slot_tokens[slot] = [first]
                     if first in stop_set:

@@ -301,24 +301,26 @@ class Engine:
         """Generate completions for a batch of requests; returns token lists
         (stop token included when sp.include_stop_token).
 
-        G-way grouped rollouts from a single prompt (the GRPO shape) prefill
-        ONCE and broadcast the KV cache to G rows — the reference pays the
-        full prefill (and ZeRO-3 gather) per generate call instead."""
+        G-way grouped rollouts (the GRPO shape) prefill each UNIQUE prompt
+        once and broadcast its KV cache to G rows — the reference pays the
+        full prefill (and ZeRO-3 gather) per rollout row instead."""
         G = sp.num_return_sequences
-        if G > 1 and len(requests) == 1:
+        if G > 1:
             ids1, mask1, pos1, start1, vis, S, max_len = self._pack(
                 list(requests), extra_len=sp.max_new_tokens
             )
             fl1, cache1 = self._prefill(ids1, mask1, pos1, vis, S, max_len)
-            first_logits = jnp.broadcast_to(fl1, (G,) + fl1.shape[1:])
+            B = len(requests)
+            # row-major repeat: rows [i·G, (i+1)·G) belong to prompt i
+            first_logits = jnp.repeat(fl1, G, axis=0)
             cache = KVCache(
-                k=jnp.broadcast_to(cache1.k, cache1.k.shape[:1] + (G,) + cache1.k.shape[2:]).copy(),
-                v=jnp.broadcast_to(cache1.v, cache1.v.shape[:1] + (G,) + cache1.v.shape[2:]).copy(),
+                k=jnp.repeat(cache1.k, G, axis=1),
+                v=jnp.repeat(cache1.v, G, axis=1),
                 length=cache1.length,
             )
-            reqs = [requests[0]] * G
-            mask = np.broadcast_to(mask1, (G,) + mask1.shape[1:])
-            start_pos = np.broadcast_to(start1, (G,))
+            reqs = [r for r in requests for _ in range(G)]
+            mask = np.repeat(mask1, G, axis=0)
+            start_pos = np.repeat(start1, G, axis=0)
             rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
             tokens = decode_loop(
                 self.params, self.cfg, cache, first_logits,
@@ -326,7 +328,7 @@ class Engine:
             )
             return self._postprocess(np.asarray(tokens), len(reqs), sp)
 
-        reqs = [r for r in requests for _ in range(G)]
+        reqs = list(requests)
         ids, mask, pos_ids, start_pos, vis, S, max_len = self._pack(
             reqs, extra_len=sp.max_new_tokens
         )

@@ -7,20 +7,21 @@ vLLM pack heterogeneous-length sequences (e.g. VideoMME long prompts next to
 short Charades ones).
 
 Layout:
-  pool.k / pool.v : (L, n_pages, page_size, Hkv, hd)
+  pool.k / pool.v : (L, Hkv, n_pages, page_size, hd) — (P, hd) = (128, 128)
+                    minor dims tile TPU registers exactly
   page_table      : (slots, max_pages_per_slot) int32 — pool page per block
   lengths         : (slots,) written tokens per slot
 
 Host side: a free-list allocator assigns/releases pages at admission/retire.
 Device side (jit):
   - `write_prompt`: scatter a prefilled (L, S, Hkv, hd) sequence into its pages;
-  - `paged_decode_step`: one token for every active slot — gathers each
-    slot's pages into a contiguous view, applies per-slot causal bias, and
-    scatter-writes the new KV at (page_table[len//P], len%P).
-
-The gather materializes (slots, max_pages·P, …) per layer per step — correct
-and simple; the zero-copy Pallas kernel with scalar-prefetched page tables is
-the planned next step (docs/ROADMAP.md).
+  - `paged_decode_segment`: K decode steps on device. Attention over the
+    page-resident prefix runs the Pallas paged-attention kernel
+    (ops/paged_attention.py) with the page table scalar-prefetched — pages
+    are read IN PLACE, no contiguous view is materialized (vLLM
+    PagedAttention capability). The current token combines in-register via
+    the online-softmax state, and the pool takes ONE all-layer scatter per
+    step. Non-TPU backends use the gather-view jnp oracle.
 """
 
 from __future__ import annotations
@@ -34,14 +35,13 @@ import numpy as np
 
 from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
-from ..ops.attention import NEG_INF, mha_reference
 from ..ops.quant import embed_lookup, qmatmul
 from .engine import sample_tokens
 from .params import SamplingParams
 
 
 class PagedPool(NamedTuple):
-    k: jnp.ndarray  # (L, n_pages, P, Hkv, hd)
+    k: jnp.ndarray  # (L, Hkv, n_pages, P, hd)
     v: jnp.ndarray
     page_table: jnp.ndarray  # (slots, max_pages) int32
     lengths: jnp.ndarray  # (slots,) int32
@@ -68,7 +68,7 @@ def make_pool(
     cfg: Qwen25VLConfig, n_pages: int, page_size: int, slots: int, max_pages: int, dtype=jnp.bfloat16
 ) -> PagedPool:
     t = cfg.text
-    shape = (t.num_hidden_layers, n_pages, page_size, t.num_key_value_heads, t.head_dim)
+    shape = (t.num_hidden_layers, t.num_key_value_heads, n_pages, page_size, t.head_dim)
     return PagedPool(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -89,12 +89,13 @@ def write_prompt(
 ) -> PagedPool:
     """Scatter a prefilled sequence into its pages and register the slot."""
     L = pool.k.shape[0]
-    P = pool.k.shape[2]
+    P = pool.k.shape[3]
     n = prompt_pages.shape[0]
-    kp = k_seq.reshape(L, n, P, *k_seq.shape[2:]).astype(pool.k.dtype)
-    vp = v_seq.reshape(L, n, P, *v_seq.shape[2:]).astype(pool.v.dtype)
-    new_k = pool.k.at[:, prompt_pages].set(kp)
-    new_v = pool.v.at[:, prompt_pages].set(vp)
+    # (L, S, Hkv, hd) → (L, Hkv, n, P, hd)
+    kp = k_seq.reshape(L, n, P, *k_seq.shape[2:]).transpose(0, 3, 1, 2, 4).astype(pool.k.dtype)
+    vp = v_seq.reshape(L, n, P, *v_seq.shape[2:]).transpose(0, 3, 1, 2, 4).astype(pool.v.dtype)
+    new_k = pool.k.at[:, :, prompt_pages].set(kp)
+    new_v = pool.v.at[:, :, prompt_pages].set(vp)
     new_table = pool.page_table.at[slot].set(table_row.astype(jnp.int32))
     new_lengths = pool.lengths.at[slot].set(length.astype(jnp.int32))
     return PagedPool(new_k, new_v, new_table, new_lengths)
@@ -112,12 +113,18 @@ def _paged_one_step(
     rng: jnp.ndarray,
 ):
     """One decode step over the paged pool → (pool, next_token (slots,))."""
+    from ..ops.paged_attention import (
+        combine_with_new_token,
+        paged_prefix_attention,
+        paged_prefix_attention_reference,
+    )
+
     tcfg = cfg.text
     nh, nkv, hd = tcfg.num_attention_heads, tcfg.num_key_value_heads, tcfg.head_dim
+    G = nh // nkv
     eps = tcfg.rms_norm_eps
     slots, max_pages = pool.page_table.shape
-    P = pool.k.shape[2]
-    view_len = max_pages * P
+    P = pool.k.shape[3]
 
     pos = start_pos + steps
     pos3 = jnp.broadcast_to(pos[None, :, None], (3, slots, 1))
@@ -128,21 +135,11 @@ def _paged_one_step(
         params["text"]["embed_tokens"]["embedding"], last[:, None],
         dtype=params["text"]["norm"]["scale"].dtype,
     )
-    kv_pos = jnp.arange(view_len)[None, :]
-    bias = jnp.where(kv_pos <= pool.lengths[:, None], 0.0, NEG_INF).astype(jnp.float32)
-    bias = bias[:, None, None, :]
 
-    write_page = jnp.take_along_axis(
-        pool.page_table, (pool.lengths // P)[:, None], axis=1
-    )[:, 0]  # (slots,)
-    # dead slots write into the reserved scratch page 0 — their stale page
-    # tables may reference pages reallocated to other slots
-    write_page = jnp.where(live, write_page, 0)
-    write_off = jnp.where(live, pool.lengths % P, 0)
+    use_kernel = jax.default_backend() == "tpu" and hd % 128 == 0 and P % 128 == 0
 
-    def layer(carry, scanned):
-        x, pk, pv, li = carry
-        lp = scanned
+    def layer(x, scanned):
+        lp, layer_k, layer_v = scanned  # layer_k/v: (nkv, n_pages, P, hd)
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
         q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
         k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
@@ -150,26 +147,40 @@ def _paged_one_step(
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
-        # scatter the new token's KV into each slot's current page
-        pk = pk.at[li, write_page, write_off].set(k[:, 0].astype(pk.dtype))
-        pv = pv.at[li, write_page, write_off].set(v[:, 0].astype(pv.dtype))
-        # gather each slot's pages into a contiguous (slots, view_len) view
-        layer_k = jax.lax.dynamic_index_in_dim(pk, li, axis=0, keepdims=False)
-        layer_v = jax.lax.dynamic_index_in_dim(pv, li, axis=0, keepdims=False)
-        k_all = jnp.take(layer_k, pool.page_table, axis=0).reshape(slots, view_len, nkv, hd)
-        v_all = jnp.take(layer_v, pool.page_table, axis=0).reshape(slots, view_len, nkv, hd)
-        attn = mha_reference(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias=bias)
-        x = x + qmatmul(attn.reshape(slots, 1, nh * hd), lp["self_attn"]["o_w"])
+        # grouped queries (slots, nkv, G, hd); prefix attention over pages
+        # IN PLACE (scalar-prefetched page table — no contiguous view)
+        qg = q[:, 0].reshape(slots, nkv, G, hd)
+        fn = paged_prefix_attention if use_kernel else paged_prefix_attention_reference
+        acc, m, l = fn(
+            qg, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
+            pool.page_table, pool.lengths, P,
+        )
+        attn = combine_with_new_token(acc, m, l, qg, k[:, 0], v[:, 0])
+        attn = attn.reshape(slots, 1, nh * hd).astype(x.dtype)
+        x = x + qmatmul(attn, lp["self_attn"]["o_w"])
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
         x = x + qmatmul(
             jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
             lp["mlp"]["down_w"],
         )
-        return (x, pk, pv, li + 1), None
+        return x, (k[:, 0], v[:, 0])
 
-    (x, pk, pv, _), _ = jax.lax.scan(
-        layer, (x, pool.k, pool.v, jnp.zeros((), jnp.int32)), params["text"]["layers"]
+    x, (ks, vs) = jax.lax.scan(layer, x, (params["text"]["layers"], pool.k, pool.v))
+    # ks/vs: (L, slots, nkv, hd) — ONE all-layer scatter at each slot's write
+    # cell. Dead slots write into the reserved scratch page 0 (their stale
+    # page tables may reference pages reallocated to other slots).
+    write_page = jnp.take_along_axis(
+        pool.page_table, (pool.lengths // P)[:, None], axis=1
+    )[:, 0]
+    write_page = jnp.where(live, write_page, 0)
+    write_off = jnp.where(live, pool.lengths % P, 0)
+    pk = pool.k.at[:, :, write_page, write_off].set(
+        ks.transpose(0, 2, 1, 3).astype(pool.k.dtype)
     )
+    pv = pool.v.at[:, :, write_page, write_off].set(
+        vs.transpose(0, 2, 1, 3).astype(pool.v.dtype)
+    )
+
     x = _rms_norm(x, params["text"]["norm"]["scale"], eps)
     logits = lm_logits(params["text"], tcfg, x)[:, 0]
     rng, sub = jax.random.split(rng)
@@ -252,40 +263,47 @@ class PagedEngine:
         self.segment = segment
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
-    def _admit(self, pool, allocator, slot, req, sp, req_idx):
+    def _admit_many(self, pool, allocator, admits, sp):
+        """ONE batched prefill for all pending admissions; each row's KV is
+        paged into its freshly-allocated pages. admits: [(slot, req_idx,
+        Request)] → (pool, [(first, start_pos, pages)])."""
         eng = self._prefill_engine
         eng.params = self.params
-        ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack([req], extra_len=0)
+        reqs = [r for _, _, r in admits]
+        ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack(reqs, extra_len=0)
         first_logits, cache = eng._prefill(ids, mask, pos_ids, vis, S, S)
-        rng = jax.random.fold_in(
-            jax.random.PRNGKey(sp.seed if sp.seed is not None else 0), req_idx
-        )
-        first = int(np.asarray(sample_tokens(jnp.asarray(first_logits), rng, sp))[0])
-
-        L_prompt = len(req.input_ids)
-        lead = S - L_prompt
-        n_prompt_pages = -(-L_prompt // self.P)
-        n_total = min(-(-(L_prompt + sp.max_new_tokens) // self.P), self.max_pages)
-        pages = allocator.alloc(n_total)
-        # contiguous prompt KV, right-padded to a page multiple
-        k = jax.lax.dynamic_slice_in_dim(cache.k[:, 0], lead, L_prompt, axis=1)
-        v = jax.lax.dynamic_slice_in_dim(cache.v[:, 0], lead, L_prompt, axis=1)
-        pad = n_prompt_pages * self.P - L_prompt
-        if pad:
-            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        table_row = np.zeros((self.max_pages,), np.int32)
-        table_row[:n_total] = pages
-        pool = write_prompt(
-            pool,
-            jnp.asarray(slot, jnp.int32),
-            jnp.asarray(pages[:n_prompt_pages], jnp.int32),
-            jnp.asarray(table_row),
-            k,
-            v,
-            jnp.asarray(L_prompt, jnp.int32),
-        )
-        return pool, first, int(start_pos[0]), pages
+        seed0 = sp.seed if sp.seed is not None else 0
+        out = []
+        for row, (slot, req_idx, req) in enumerate(admits):
+            rng = jax.random.fold_in(jax.random.PRNGKey(seed0), req_idx)
+            first = int(
+                np.asarray(sample_tokens(jnp.asarray(first_logits[row : row + 1]), rng, sp))[0]
+            )
+            L_prompt = len(req.input_ids)
+            lead = S - L_prompt
+            n_prompt_pages = -(-L_prompt // self.P)
+            n_total = min(-(-(L_prompt + sp.max_new_tokens) // self.P), self.max_pages)
+            pages = allocator.alloc(n_total)
+            # contiguous prompt KV, right-padded to a page multiple
+            k = jax.lax.dynamic_slice_in_dim(cache.k[:, row], lead, L_prompt, axis=1)
+            v = jax.lax.dynamic_slice_in_dim(cache.v[:, row], lead, L_prompt, axis=1)
+            pad = n_prompt_pages * self.P - L_prompt
+            if pad:
+                k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            table_row = np.zeros((self.max_pages,), np.int32)
+            table_row[:n_total] = pages
+            pool = write_prompt(
+                pool,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(pages[:n_prompt_pages], jnp.int32),
+                jnp.asarray(table_row),
+                k,
+                v,
+                jnp.asarray(L_prompt, jnp.int32),
+            )
+            out.append((first, int(start_pos[row]), pages))
+        return pool, out
 
     def generate(self, requests, sp: SamplingParams):
         from collections import deque
@@ -320,12 +338,16 @@ class PagedEngine:
             slot_req[slot] = None
 
         while len(results) < n_total:
+            admits = []
             for slot in range(self.max_slots):
                 if slot_req[slot] is None and queue:
                     idx, req = queue.popleft()
                     if len(req.input_ids) + sp.max_new_tokens > self.max_len:
                         raise ValueError("request exceeds max_len")
-                    pool, first, sp0, pages = self._admit(pool, allocator, slot, req, sp, idx)
+                    admits.append((slot, idx, req))
+            if admits:
+                pool, infos = self._admit_many(pool, allocator, admits, sp)
+                for (slot, idx, req), (first, sp0, pages) in zip(admits, infos):
                     slot_req[slot] = idx
                     slot_pages[slot] = pages
                     slot_tokens[slot] = [first]
