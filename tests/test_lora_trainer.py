@@ -164,3 +164,33 @@ def test_resume_max_steps_enforced(tmp_path):
     resumed.global_step = 3
     resumed.train(dataset * 5, max_steps=3 + 2)  # oversized dataset: cap must bind
     assert resumed.global_step == 5
+
+
+def test_optimizer_state_checkpointed_when_not_save_only_model(tmp_path):
+    """--save_only_model false parity: resume restores Adam moments instead
+    of silently restarting them."""
+    trainer = _trainer(tmp_path, save_only_model=False)
+    trainer.step(dict(EXAMPLE))
+    trainer.save_checkpoint(str(tmp_path / "full"))
+    import os
+
+    assert os.path.isdir(str(tmp_path / "full" / "opt_state"))
+
+    fresh = _trainer(tmp_path, save_only_model=False)
+    fresh.load_checkpoint_state(str(tmp_path / "full"))
+    assert fresh.global_step == trainer.global_step
+    # restored optimizer state is bit-identical to what was saved (incl. the
+    # adam step counter, which IS non-zero after one update)
+    want = jax.tree.leaves(trainer.opt_state)
+    got = jax.tree.leaves(fresh.opt_state)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    counters = [np.asarray(w) for w in want if np.asarray(w).ndim == 0]
+    assert any(c > 0 for c in counters)  # adam count advanced past init
+
+    # save_only_model=True (default) writes no optimizer state
+    t2 = _trainer(tmp_path)
+    t2.step(dict(EXAMPLE))
+    t2.save_checkpoint(str(tmp_path / "slim"))
+    assert not os.path.isdir(str(tmp_path / "slim" / "opt_state"))

@@ -132,3 +132,60 @@ def test_engine_quantized_greedy_equivalence_on_grid_weights():
     base = Engine(params, cfg, dtype=jnp.float32).generate([req], sp)
     quant = Engine(params, cfg, dtype=jnp.float32, quantization="int8").generate([req], sp)
     assert base == quant
+
+
+def test_quantize_kv_roundtrip_error_bound():
+    from time_r1_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(3, 7, 2, 16)).astype(np.float32))
+    q8, s = quantize_kv(x)
+    deq = q8.astype(jnp.float32) * s[..., None]
+    assert np.all(np.abs(np.asarray(deq - x)) <= np.asarray(s)[..., None] / 2 + 1e-7)
+
+
+def test_decode_with_int8_kv_cache_close_to_bf16():
+    """One cached decode step with the int8 KV cache must track the full-
+    precision path closely (and exactly where the cache is short)."""
+    from time_r1_tpu.models.qwen25vl import KVCache, forward
+    from time_r1_tpu.ops.quant import quantize_kv_cache
+
+    cfg = Qwen25VLConfig.tiny_test()
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    B, S, max_len = 2, 6, 16
+    ids = jnp.asarray(rng.integers(2, 200, size=(B, S)))
+    pos = jnp.broadcast_to(jnp.arange(S)[None, None, :], (3, B, S))
+    mask = jnp.ones((B, max_len), jnp.int32)
+
+    cache = KVCache.zeros(cfg.text, B, max_len, dtype=jnp.float32)
+    _, cache = forward(params, cfg, ids, pos, attention_mask=mask, cache=cache)
+
+    nxt = jnp.asarray(rng.integers(2, 200, size=(B, 1)))
+    pos1 = jnp.full((3, B, 1), S)
+    full, _ = forward(params, cfg, nxt, pos1, attention_mask=mask, cache=cache)
+    qcache = quantize_kv_cache(cache)
+    assert qcache.k.dtype == jnp.int8 and qcache.k_scale is not None
+    quant, qcache2 = forward(params, cfg, nxt, pos1, attention_mask=mask, cache=qcache)
+    # new token written quantized, length advanced
+    assert qcache2.k.dtype == jnp.int8
+    assert int(qcache2.length) == S + 1
+    f, q = np.asarray(full).ravel(), np.asarray(quant).ravel()
+    corr = np.corrcoef(f, q)[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_array_equal(np.argmax(np.asarray(full), -1), np.argmax(np.asarray(quant), -1))
+
+
+def test_engine_kv_cache_quant_runs():
+    from time_r1_tpu.sampler import Engine, Request, SamplingParams
+
+    cfg = Qwen25VLConfig.tiny_test()
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_token_ids=cfg.stop_token_ids)
+    rng = np.random.default_rng(8)
+    reqs = [Request(input_ids=list(rng.integers(2, 200, 9))),
+            Request(input_ids=list(rng.integers(2, 200, 14)))]
+    out = Engine(params, cfg, dtype=jnp.float32, kv_cache_quant=True).generate(reqs, sp)
+    assert len(out) == 2
+    for row in out:
+        assert 0 < len(row) <= sp.max_new_tokens

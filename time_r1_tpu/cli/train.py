@@ -180,13 +180,10 @@ def main(args, trainer: GRPOTrainer = None):
     if args.resume_from_checkpoint:
         state_path = os.path.join(args.resume_from_checkpoint, "trainer_state.json")
         if os.path.exists(state_path):
-            with open(state_path) as f:
-                resumed_global_step = json.load(f).get("global_step", 0)
-            trainer.global_step = resumed_global_step
-            from ..utils.checkpoint import load_params
-
-            trainer.params = load_params(args.resume_from_checkpoint, like=trainer.params)
-            trainer.engine.set_params(trainer.params)
+            # restores params + global_step + optimizer state when the
+            # checkpoint was written with --save_only_model false
+            trainer.load_checkpoint_state(args.resume_from_checkpoint)
+            resumed_global_step = trainer.global_step
             # global_step counts dataset micro-steps here (one example per
             # step), so the quota is epochs·len(dataset) more micro-steps —
             # the same semantics as the reference's update-count arithmetic

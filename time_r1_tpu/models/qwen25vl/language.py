@@ -27,15 +27,19 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ...ops.attention import NEG_INF, mha_cached, mha_reference
+from ...ops.attention import NEG_INF, mha_cached, mha_cached_q8, mha_reference
 from ...ops.quant import qmatmul, tied_head_logits
 from .config import TextConfig
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, max_len, Hkv, hd)
+    k: jnp.ndarray  # (L, B, max_len, Hkv, hd) — bf16, or int8 in decode-quant form
     v: jnp.ndarray  # (L, B, max_len, Hkv, hd)
     length: jnp.ndarray  # () int32 — filled prefix length (uniform across batch)
+    # int8 decode form only (ops/quant.quantize_kv_cache): per-(token, head)
+    # scales, (L, B, max_len, Hkv) f32
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @staticmethod
     def zeros(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
@@ -202,13 +206,16 @@ def decoder_forward(
 
     sliding = _sliding_flags(cfg)
     layers = params["layers"]
+    quant_kv = cache is not None and cache.k.dtype == jnp.int8
 
     # Pallas flash kernel on TPU for the MXU-aligned no-cache path
     # (training / logp recompute); the cached-decode and sliding-window paths
-    # use the grouped-einsum reference.
+    # use the grouped-einsum reference. The int8-quantized cache has its own
+    # attention (mha_cached_q8) — never the flash path.
     flash = use_flash if use_flash is not None else (cache is None and _flash_eligible(cfg, S))
     flash_cached = (
         cache is not None
+        and not quant_kv
         and flash_q_offset is not None
         and _flash_eligible(cfg, S)
         and cache.k.shape[2] % 128 == 0
@@ -222,7 +229,10 @@ def decoder_forward(
             kv_bias = jnp.zeros((B, kv_len), jnp.float32)
 
     def layer(x, scanned):
-        lp, is_sliding, layer_k, layer_v = scanned
+        if quant_kv:
+            lp, is_sliding, layer_k, layer_v, layer_ks, layer_vs = scanned
+        else:
+            lp, is_sliding, layer_k, layer_v = scanned
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
         q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(B, S, nh, hd)
         k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(B, S, nkv, hd)
@@ -231,7 +241,25 @@ def decoder_forward(
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
 
+        def tail(x, attn):
+            a = qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+            x = x + a
+            h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
+            return x + qmatmul(
+                jax.nn.silu(qmatmul(h2, lp["mlp"]["gate_w"])) * qmatmul(h2, lp["mlp"]["up_w"]),
+                lp["mlp"]["down_w"],
+            )
+
         if cache is not None:
+            if quant_kv:
+                from ...ops.quant import quantize_kv
+
+                attn = mha_cached_q8(
+                    q, layer_k, layer_v, layer_ks, layer_vs, k, v, bias_old, bias_new
+                )
+                k8, ks = quantize_kv(k)
+                v8, vs = quantize_kv(v)
+                return tail(x, attn), (k8, ks, v8, vs)
             if flash_cached:
                 from ...ops.flash_attention import flash_attention
 
@@ -260,21 +288,26 @@ def decoder_forward(
             b = jnp.where(is_sliding, window_bias, bias)
             attn = mha_reference(q, k, v, bias=b)
             new_k, new_v = layer_k, layer_v
-        attn = qmatmul(attn.reshape(B, S, nh * hd), lp["self_attn"]["o_w"])
-        x = x + attn
-        h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + qmatmul(
-            jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
-            lp["mlp"]["down_w"],
-        )
-        return x, (new_k, new_v)
+        return tail(x, attn), (new_k, new_v)
 
     # gradient checkpointing: save each layer's input, recompute attention/MLP
     # activations in the backward pass — the reference recipes rely on HF's
     # gradient_checkpointing for the 7B × 8k × G=8 fwd/bwd to fit
     layer_fn = jax.checkpoint(layer) if remat else layer
 
-    if cache is not None:
+    if cache is not None and quant_kv:
+        hidden, (k8s, kss, v8s, vss) = jax.lax.scan(
+            layer_fn, hidden, (layers, sliding, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        )
+        at = (0, 0, cache.length, 0, 0)
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, k8s, at),
+            v=jax.lax.dynamic_update_slice(cache.v, v8s, at),
+            length=cache.length + S,
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, kss, at[:-1]),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vss, at[:-1]),
+        )
+    elif cache is not None:
         hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, (layers, sliding, cache.k, cache.v))
         # ks/vs: (L, B, S, Hkv, hd) — just the chunk. One dynamic_update_slice
         # into the (donated) cache buffer: in-place under jit/while-loop.

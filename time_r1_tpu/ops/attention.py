@@ -96,3 +96,46 @@ def mha_cached(
     pn = (pn / denom[..., None]).astype(v_new.dtype)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", po, v_old) + jnp.einsum("bhgqk,bkhd->bqhgd", pn, v_new)
     return out.reshape(B, S, H, D)
+
+
+def mha_cached_q8(
+    q: jnp.ndarray,  # (B, S, H, D) — current chunk queries (post-rope)
+    k8_old: jnp.ndarray,  # (B, Lkv, Hkv, D) int8 quantized cache
+    v8_old: jnp.ndarray,
+    ks_old: jnp.ndarray,  # (B, Lkv, Hkv) f32 per-(token, head) scales
+    vs_old: jnp.ndarray,
+    k_new: jnp.ndarray,  # (B, S, Hkv, D) — UNQUANTIZED current chunk
+    v_new: jnp.ndarray,
+    bias_old: jnp.ndarray,
+    bias_new: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """mha_cached against an int8-quantized KV cache. The per-token scales
+    fold into the score / probability axis (scores = s·(q·k8),
+    out = (p·s)·v8), so HBM streams half the cache bytes and the dequantized
+    K/V never materialize. The in-flight chunk stays full precision."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, S, H, D = q.shape
+    Hkv = k8_old.shape[2]
+    G = H // Hkv
+    qg = q.reshape(B, S, Hkv, G, D)
+    lo = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k8_old.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    lo = lo * (scale * jnp.moveaxis(ks_old, 1, -1)[:, :, None, None, :])  # (B,Hkv,1,1,Lkv)
+    ln = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k_new, preferred_element_type=jnp.float32
+    ) * scale
+    lo = lo + _bias_grouped(bias_old, H, Hkv)
+    ln = ln + _bias_grouped(bias_new, H, Hkv)
+    m = jnp.maximum(jnp.max(lo, axis=-1), jnp.max(ln, axis=-1))
+    po = jnp.exp(lo - m[..., None])
+    pn = jnp.exp(ln - m[..., None])
+    denom = jnp.sum(po, axis=-1) + jnp.sum(pn, axis=-1)
+    po = po / denom[..., None] * jnp.moveaxis(vs_old, 1, -1)[:, :, None, None, :]
+    pn = pn / denom[..., None]
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", po.astype(q.dtype), v8_old.astype(q.dtype)
+    ) + jnp.einsum("bhgqk,bkhd->bqhgd", pn.astype(v_new.dtype), v_new)
+    return out.reshape(B, S, H, D)

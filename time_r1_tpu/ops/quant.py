@@ -156,3 +156,29 @@ def quantize_params_jit(params: dict, bits: int = 8) -> dict:
     """Jit-cached quantize — safe to call once per train step on live rollout
     weights (one read+write pass over the tree, no recompiles)."""
     return quantize_params(params, bits=bits)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache quantization (decode phase): per (token, head) symmetric int8 over
+# head_dim. Exactness trick: scores = q·(s·k8) = s·(q·k8) and
+# out = p·(s·v8) = (p·s)·v8 — the scale folds into the score/probability
+# axis, so the dequantized K/V never materialize in HBM.
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(…, hd) → ((…, hd) int8, (…,) f32 per-vector scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@jax.jit
+def quantize_kv_cache(cache):
+    """Convert a bf16 KVCache (post-prefill) to the int8 decode form: one
+    pass over the buffers; scales shaped (L, B, max_len, Hkv) f32."""
+    k8, ks = quantize_kv(cache.k)
+    v8, vs = quantize_kv(cache.v)
+    return cache._replace(k=k8, v=v8, k_scale=ks, v_scale=vs)

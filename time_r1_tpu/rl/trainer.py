@@ -512,6 +512,11 @@ class GRPOTrainer:
                     for n, v in ab.items()
                 },
             )
+        if not self.c.save_only_model:
+            # full training state (HF --save_only_model false parity): resume
+            # restores Adam moments + the accumulation/schedule counters
+            # instead of silently restarting them
+            save_params(path, self.opt_state, name="opt_state")
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"global_step": self.global_step}, f)
         from ..models.qwen25vl.convert import config_to_plain_dict
@@ -519,6 +524,19 @@ class GRPOTrainer:
         with open(os.path.join(path, "timer1_config.json"), "w") as f:
             json.dump(config_to_plain_dict(self.cfg), f)
         self.save_model_card(path)
+
+    def load_checkpoint_state(self, path: str):
+        """Restore params, global_step and (when saved) optimizer state."""
+        from ..utils.checkpoint import load_params
+
+        self.params = load_params(path, like=self.params)
+        self.engine.set_params(self._policy_params())
+        state_path = os.path.join(path, "trainer_state.json")
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                self.global_step = json.load(f).get("global_step", self.global_step)
+        if os.path.isdir(os.path.join(path, "opt_state")):
+            self.opt_state = load_params(path, like=self.opt_state, name="opt_state")
 
     def save_model_card(self, path: str):
         """Draft model card (timer1_trainer.py:795-857 capability)."""

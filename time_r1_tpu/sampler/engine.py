@@ -207,6 +207,7 @@ class Engine:
         dtype=jnp.bfloat16,
         prefill_chunk_tokens: int = PREFILL_CHUNK,
         quantization: Optional[str] = None,  # None | "int8" | "int4" (weight-only)
+        kv_cache_quant: bool = False,  # int8 KV cache for the decode phase
     ):
         if quantization:
             from ..ops.quant import quantize_params_jit
@@ -216,6 +217,7 @@ class Engine:
         self.cfg = cfg
         self.dtype = dtype
         self.quantization = quantization
+        self.kv_cache_quant = kv_cache_quant
         self.prefill_chunk_tokens = prefill_chunk_tokens
 
     def set_params(self, params: dict) -> None:
@@ -321,6 +323,7 @@ class Engine:
             reqs = [r for r in requests for _ in range(G)]
             mask = np.repeat(mask1, G, axis=0)
             start_pos = np.repeat(start1, G, axis=0)
+            cache = self._maybe_quant_cache(cache)
             rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
             tokens = decode_loop(
                 self.params, self.cfg, cache, first_logits,
@@ -333,12 +336,22 @@ class Engine:
             reqs, extra_len=sp.max_new_tokens
         )
         first_logits, cache = self._prefill(ids, mask, pos_ids, vis, S, max_len)
+        cache = self._maybe_quant_cache(cache)
         rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
         tokens = decode_loop(
             self.params, self.cfg, cache, first_logits,
             jnp.asarray(start_pos), jnp.asarray(mask), sp, rng,
         )
         return self._postprocess(np.asarray(tokens), len(reqs), sp)
+
+    def _maybe_quant_cache(self, cache: KVCache) -> KVCache:
+        """Prefill runs bf16; the decode phase optionally streams an
+        int8-quantized cache (one conversion pass — ops/quant.py)."""
+        if not self.kv_cache_quant:
+            return cache
+        from ..ops.quant import quantize_kv_cache
+
+        return quantize_kv_cache(cache)
 
     def _postprocess(self, tokens: np.ndarray, n: int, sp: SamplingParams) -> list[list[int]]:
         out = []

@@ -14,19 +14,19 @@ from typing import Any, Optional
 import jax
 
 
-def save_params(path: str, params: Any) -> None:
+def save_params(path: str, params: Any, name: str = "params") -> None:
     import orbax.checkpoint as ocp
 
-    ckpt_dir = os.path.abspath(os.path.join(path, "params"))
+    ckpt_dir = os.path.abspath(os.path.join(path, name))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(ckpt_dir, params, force=True)
     ckptr.wait_until_finished()
 
 
-def load_params(path: str, like: Optional[Any] = None) -> Any:
+def load_params(path: str, like: Optional[Any] = None, name: str = "params") -> Any:
     import orbax.checkpoint as ocp
 
-    ckpt_dir = os.path.abspath(os.path.join(path, "params"))
+    ckpt_dir = os.path.abspath(os.path.join(path, name))
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
