@@ -194,3 +194,12 @@ def test_optimizer_state_checkpointed_when_not_save_only_model(tmp_path):
     t2.step(dict(EXAMPLE))
     t2.save_checkpoint(str(tmp_path / "slim"))
     assert not os.path.isdir(str(tmp_path / "slim" / "opt_state"))
+
+
+def test_rollout_quantization_step_runs(tmp_path):
+    """int8-quantized rollout sampling: the step completes and the loss path
+    still recomputes logps in full precision (finite loss, metrics present)."""
+    trainer = _trainer(tmp_path, rollout_quantization="int8")
+    assert trainer.engine.quantization == "int8"
+    info = trainer.step(dict(EXAMPLE))
+    assert np.isfinite(info["loss"])

@@ -59,6 +59,20 @@ def get_args(argv=None):
     p.add_argument(
         "--pipeline_parallel_size", type=int, default=1, help="accepted for recipe parity"
     )
+    p.add_argument(
+        "--quantization",
+        type=str,
+        default="",
+        choices=["", "int8"],
+        help="weight-only quantized serving (vLLM --quantization capability)",
+    )
+    p.add_argument(
+        "--kv_cache_dtype",
+        type=str,
+        default="",
+        choices=["", "int8"],
+        help="int8 KV cache for the decode phase (vLLM --kv-cache-dtype capability)",
+    )
     p.add_argument("--prompt_type", type=str, default="r1")
     p.add_argument("--use_nothink", action="store_true")
     p.add_argument("--use_prepared_video", action="store_true")
@@ -112,7 +126,12 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
                 )
             mesh = make_mesh(model_parallel=tp, devices=jax.devices()[:tp])
             params = shard_params(params, mesh)
-        engine = Engine(params, cfg)
+        engine = Engine(
+            params,
+            cfg,
+            quantization=getattr(args, "quantization", "") or None,
+            kv_cache_quant=getattr(args, "kv_cache_dtype", "") == "int8",
+        )
         processor = Qwen25VLProcessor.from_pretrained(args.model_base)
     if getattr(args, "use_continuous_batching", False):
         from ..sampler.continuous import ContinuousEngine

@@ -107,6 +107,13 @@ def get_args(argv=None):
     p.add_argument("--use_peft", type=lambda s: s.lower() == "true", default=False)
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=float, default=32.0)
+    p.add_argument(
+        "--rollout_quantization",
+        type=str,
+        default="",
+        choices=["", "int8"],
+        help="weight-only quantized rollout sampling (logps recomputed full precision)",
+    )
     p.add_argument("--attn_implementation", type=str, default="flash")
     p.add_argument("--dataset_name", type=str, default="xxx")
     p.add_argument("--video_folder", type=str, default="xxx")
@@ -150,6 +157,7 @@ def main(args, trainer: GRPOTrainer = None):
             use_peft=args.use_peft,
             lora_r=args.lora_r,
             lora_alpha=args.lora_alpha,
+            rollout_quantization=args.rollout_quantization,
             prompt_type=args.prompt_type,
             logging_steps=args.logging_steps,
             save_steps=args.save_steps,

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import NEG_INF, mha_cached, mha_cached_q8, mha_reference
-from ...ops.quant import qmatmul, tied_head_logits
+from ...ops.quant import attn_qkv_proj, mlp_proj, qmatmul, tied_head_logits
 from .config import TextConfig
 
 
@@ -234,9 +234,7 @@ def decoder_forward(
         else:
             lp, is_sliding, layer_k, layer_v = scanned
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(B, S, nh, hd)
-        k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(B, S, nkv, hd)
-        v = (qmatmul(h, lp["self_attn"]["v_w"]) + lp["self_attn"]["v_b"]).reshape(B, S, nkv, hd)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -245,10 +243,7 @@ def decoder_forward(
             a = qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
             x = x + a
             h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-            return x + qmatmul(
-                jax.nn.silu(qmatmul(h2, lp["mlp"]["gate_w"])) * qmatmul(h2, lp["mlp"]["up_w"]),
-                lp["mlp"]["down_w"],
-            )
+            return x + mlp_proj(h2, lp["mlp"])
 
         if cache is not None:
             if quant_kv:

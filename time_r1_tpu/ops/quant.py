@@ -119,21 +119,65 @@ def tied_head_logits(hidden: jnp.ndarray, emb) -> jnp.ndarray:
 _TEXT_MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 
+def attn_qkv_proj(h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int):
+    """q/k/v projections from fused ("qkv") or separate layer params.
+    h: (B, S, hid) → ((B,S,nh,hd), (B,S,nkv,hd), (B,S,nkv,hd))."""
+    B, S = h.shape[:2]
+    if "qkv" in attn:
+        qkv = qmatmul(h, attn["qkv"]) + attn["qkv_b"]
+        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+    else:
+        q = qmatmul(h, attn["q_w"]) + attn["q_b"]
+        k = qmatmul(h, attn["k_w"]) + attn["k_b"]
+        v = qmatmul(h, attn["v_w"]) + attn["v_b"]
+    return (
+        q.reshape(B, S, nh, hd),
+        k.reshape(B, S, nkv, hd),
+        v.reshape(B, S, nkv, hd),
+    )
+
+
+def mlp_proj(h: jnp.ndarray, mlp: dict) -> jnp.ndarray:
+    """SwiGLU MLP from fused ("gu") or separate layer params."""
+    import jax as _jax
+
+    if "gu" in mlp:
+        gu = qmatmul(h, mlp["gu"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = qmatmul(h, mlp["gate_w"])
+        up = qmatmul(h, mlp["up_w"])
+    return qmatmul(_jax.nn.silu(gate) * up, mlp["down_w"])
+
+
 def quantize_text_params(text_params: dict, bits: int = 8) -> dict:
     """Quantize the decode-path HBM heavyweights of a text param tree:
     attention/MLP matmuls (per-layer scales under the scan axis), the
     embedding table, and the lm head. Norm scales and qkv biases stay bf16
-    (tiny). Idempotent on already-quantized trees."""
+    (tiny). Idempotent on already-quantized trees.
+
+    The q/k/v and gate/up projections are FUSED along the output axis before
+    quantization ("qkv"/"gu" entries): at decode batch sizes the per-layer
+    matmuls are tiny, so fewer-but-wider dots cut fixed per-kernel cost
+    (7 → 4 matmuls per layer). Per-output-channel scales make the fusion
+    numerically identical to quantizing separately."""
     out = dict(text_params)
     layers = dict(text_params["layers"])
     attn = dict(layers["self_attn"])
     mlp = dict(layers["mlp"])
-    for k in ("q_w", "k_w", "v_w", "o_w"):
-        if not is_quantized(attn[k]):
-            attn[k] = quantize_weight(attn[k], bits=bits)
-    for k in ("gate_w", "up_w", "down_w"):
-        if not is_quantized(mlp[k]):
-            mlp[k] = quantize_weight(mlp[k], bits=bits)
+    if "qkv" not in attn:
+        qkv_w = jnp.concatenate([attn.pop("q_w"), attn.pop("k_w"), attn.pop("v_w")], axis=-1)
+        attn["qkv"] = quantize_weight(qkv_w, bits=bits)
+        attn["qkv_b"] = jnp.concatenate(
+            [attn.pop("q_b"), attn.pop("k_b"), attn.pop("v_b")], axis=-1
+        )
+        if not is_quantized(attn["o_w"]):
+            attn["o_w"] = quantize_weight(attn["o_w"], bits=bits)
+    if "gu" not in mlp:
+        gu_w = jnp.concatenate([mlp.pop("gate_w"), mlp.pop("up_w")], axis=-1)
+        mlp["gu"] = quantize_weight(gu_w, bits=bits)
+        if not is_quantized(mlp["down_w"]):
+            mlp["down_w"] = quantize_weight(mlp["down_w"], bits=bits)
     layers["self_attn"] = attn
     layers["mlp"] = mlp
     out["layers"] = layers

@@ -103,6 +103,10 @@ class TrainConfig:
     use_peft: bool = False
     lora_r: int = 16
     lora_alpha: float = 32.0
+    # rollout sampling through weight-only quantized policy weights ("" | "int8"):
+    # ~1.7× faster decode on v5e; logps for the loss are recomputed in full
+    # precision (the reference's vLLM rollouts don't bit-match its trainer either)
+    rollout_quantization: str = ""
     prompt_type: str = "v1"
     total_pixels: int = 3584 * 28 * 28
     min_pixels: int = 16 * 28 * 28
@@ -196,7 +200,9 @@ class GRPOTrainer:
             if config.beta != 0.0 and ref_params is None:
                 ref_params = params
         self.ref_params = ref_params if config.beta != 0.0 else None
-        self.engine = Engine(params, cfg, dtype=dtype)
+        self.engine = Engine(
+            params, cfg, dtype=dtype, quantization=config.rollout_quantization or None
+        )
 
         self.hp = GRPOHyperParams(
             num_generations=config.num_generations,

@@ -30,7 +30,7 @@ import numpy as np
 from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
 from ..ops.attention import NEG_INF, mha_cached
-from ..ops.quant import embed_lookup, qmatmul
+from ..ops.quant import attn_qkv_proj, embed_lookup, mlp_proj, qmatmul
 from .engine import Engine, Request, sample_tokens
 from .params import SamplingParams
 
@@ -89,9 +89,7 @@ def decode_segment(
         def layer(x, scanned):
             lp, layer_k, layer_v = scanned
             h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-            q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
-            k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
-            v = (qmatmul(h, lp["self_attn"]["v_w"]) + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
+            q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
             qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
             q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
             k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -100,10 +98,7 @@ def decode_segment(
             )
             x = x + qmatmul(attn.reshape(slots, 1, nh * hd), lp["self_attn"]["o_w"])
             h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-            x = x + qmatmul(
-                jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
-                lp["mlp"]["down_w"],
-            )
+            x = x + mlp_proj(h, lp["mlp"])
             return x, (k[:, 0], v[:, 0])
 
         x, (ks, vs) = jax.lax.scan(layer, x, (layers, state.k, state.v))

@@ -35,7 +35,7 @@ import numpy as np
 
 from ..models.qwen25vl import Qwen25VLConfig
 from ..models.qwen25vl.language import _rms_norm, _rotate_half, lm_logits, mrope_cos_sin
-from ..ops.quant import embed_lookup, qmatmul
+from ..ops.quant import attn_qkv_proj, embed_lookup, mlp_proj, qmatmul
 from .engine import sample_tokens
 from .params import SamplingParams
 
@@ -141,9 +141,7 @@ def _paged_one_step(
     def layer(x, scanned):
         lp, layer_k, layer_v = scanned  # layer_k/v: (nkv, n_pages, P, hd)
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q = (qmatmul(h, lp["self_attn"]["q_w"]) + lp["self_attn"]["q_b"]).reshape(slots, 1, nh, hd)
-        k = (qmatmul(h, lp["self_attn"]["k_w"]) + lp["self_attn"]["k_b"]).reshape(slots, 1, nkv, hd)
-        v = (qmatmul(h, lp["self_attn"]["v_w"]) + lp["self_attn"]["v_b"]).reshape(slots, 1, nkv, hd)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -159,10 +157,7 @@ def _paged_one_step(
         attn = attn.reshape(slots, 1, nh * hd).astype(x.dtype)
         x = x + qmatmul(attn, lp["self_attn"]["o_w"])
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + qmatmul(
-            jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
-            lp["mlp"]["down_w"],
-        )
+        x = x + mlp_proj(h, lp["mlp"])
         return x, (k[:, 0], v[:, 0])
 
     x, (ks, vs) = jax.lax.scan(layer, x, (params["text"]["layers"], pool.k, pool.v))
