@@ -4,93 +4,115 @@ Each loader returns a list of dicts. TG datasets: {video, duration, timestamp,
 sentence, qid[, video_start, video_end, pred]}. MCQ datasets: {video, question,
 options, answer (0-based), duration, qid[, video_start, video_end]}.
 
-qid formats are kept IDENTICAL to the reference so sharded jsonl outputs and
-the resume-by-qid mechanism interoperate (evaluate.py:175-183).
+qid formats and row ordering are kept IDENTICAL to the reference so sharded
+jsonl outputs and the resume-by-qid mechanism interoperate
+(evaluate.py:175-183) — the dataset files themselves pin most of the
+structure here; the loaders are organized around two shared shapes:
+sentence-grounding row emission (activitynet/charades) and option-letter MCQ
+parsing (videomme/egoschema/tempcompass).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import List
+from typing import Iterable, List, Tuple
 
 DATA_ROOT = os.environ.get("TIMER1_DATA_ROOT", "./dataset")
 
+_VIDEO_EXTS = ("mp4", "mkv", "webm")
 
-def load_activitynet(split: str = "test") -> List[dict]:
-    """data_loader.py:8-35: {root}/activitynet annotations; one row per
-    (video, timestamp) pair; qid = activitynet_{i}."""
-    data_root = f"{DATA_ROOT}/activitynet"
-    data_path = f"{data_root}/annotations/sentence_temporal_grounding/{split}.json"
-    data = json.load(open(data_path))
-    qid, out = 0, []
-    for video_id, meta in data.items():
-        video_path = None
-        for ext in ("mp4", "mkv", "webm"):
-            tmp = os.path.join(f"{data_root}/videos", f"{video_id}.{ext}")
-            if os.path.exists(tmp):
-                video_path = tmp
-                break
-        assert video_path is not None, video_id
-        for i in range(len(meta["timestamps"])):
-            out.append(
+
+def _probe_video(video_dir: str, stem: str) -> str:
+    """First existing {video_dir}/{stem}.{ext}; asserts one exists."""
+    for ext in _VIDEO_EXTS:
+        cand = os.path.join(video_dir, f"{stem}.{ext}")
+        if os.path.exists(cand):
+            return cand
+    raise AssertionError(stem)
+
+
+def _grounding_rows(
+    prefix: str,
+    videos: Iterable[Tuple[str, float, list, list]],
+) -> List[dict]:
+    """Flatten (video_path, duration, timestamps, sentences) groups into TG
+    rows with a running qid — the emission shape shared by the
+    sentence-temporal-grounding benchmarks."""
+    rows: List[dict] = []
+    for video_path, duration, timestamps, sentences in videos:
+        for ts, sent in zip(timestamps, sentences):
+            rows.append(
                 {
                     "video": video_path,
-                    "duration": meta["duration"],
-                    "timestamp": meta["timestamps"][i],
-                    "sentence": meta["sentences"][i].strip(),
-                    "qid": f"activitynet_{qid}",
+                    "duration": duration,
+                    "timestamp": ts,
+                    "sentence": sent.strip(),
+                    "qid": f"{prefix}_{len(rows)}",
                 }
             )
-            qid += 1
-    return out
+    return rows
+
+
+def _letter_options(options: Iterable[str]) -> List[str]:
+    """Strip the 'A. ' / 'B. ' prefixes the MCQ sources carry."""
+    return [op[2:].strip() for op in options]
+
+
+def load_activitynet(split: str = "test") -> List[dict]:
+    """data_loader.py:8-35 semantics; qid = activitynet_{i}."""
+    root = f"{DATA_ROOT}/activitynet"
+    anno = json.load(open(f"{root}/annotations/sentence_temporal_grounding/{split}.json"))
+    return _grounding_rows(
+        "activitynet",
+        (
+            (_probe_video(f"{root}/videos", vid), meta["duration"], meta["timestamps"], meta["sentences"])
+            for vid, meta in anno.items()
+        ),
+    )
+
+
+def _build_charades_json(txt_path: str, csv_path: str, out_path: str) -> dict:
+    """One-time txt+csv → grouped-json conversion cache (the reference keeps
+    the same artifact so both stacks can share it, data_loader.py:41-62)."""
+    import pandas as pd
+
+    durations = dict(zip(*(lambda df: (df["id"], df["length"]))(pd.read_csv(csv_path))))
+    grouped: dict = {}
+    for line in open(txt_path):
+        if not line.strip():
+            continue
+        meta, sentence = line.split("##")
+        video_id, start, end = meta.split(" ")
+        entry = grouped.setdefault(
+            video_id, {"duration": durations[video_id], "timestamps": [], "sentences": []}
+        )
+        entry["timestamps"].append([float(start), float(end)])
+        entry["sentences"].append(sentence)
+    with open(out_path, "w") as f:
+        json.dump(grouped, f)
+    return grouped
 
 
 def load_charades(split: str = "test") -> List[dict]:
-    """data_loader.py:38-81 incl. the one-time txt+csv → json conversion cache."""
-    data_root = f"{DATA_ROOT}/charades"
-    data_path = f"{data_root}/Charades_anno/Charades_sta_{split}.json"
-    if not os.path.exists(data_path):
-        import pandas as pd
-
-        data: dict = {}
-        txt_path = f"{data_root}/Charades_anno/Charades_sta_{split}.txt"
-        csv_path = f"{data_root}/Charades_anno/Charades_v1_{split}.csv"
-        df = pd.read_csv(csv_path)
-        video_to_duration = dict(zip(df["id"], df["length"]))
-        for line in open(txt_path):
-            if line.strip() == "":
-                continue
-            meta, sentence = line.split("##")
-            video_id, start, end = meta.split(" ")
-            if video_id not in data:
-                data[video_id] = {
-                    "duration": video_to_duration[video_id],
-                    "timestamps": [],
-                    "sentences": [],
-                }
-            data[video_id]["timestamps"].append([float(start), float(end)])
-            data[video_id]["sentences"].append(sentence)
-        with open(data_path, "w") as f:
-            json.dump(data, f)
+    """data_loader.py:38-81 semantics incl. the conversion cache."""
+    root = f"{DATA_ROOT}/charades"
+    json_path = f"{root}/Charades_anno/Charades_sta_{split}.json"
+    if os.path.exists(json_path):
+        grouped = json.load(open(json_path))
     else:
-        data = json.load(open(data_path))
-
-    qid, out = 0, []
-    for video_id, meta in data.items():
-        video_path = os.path.join(f"{data_root}/Charades_v1", f"{video_id}.mp4")
-        for i in range(len(meta["timestamps"])):
-            out.append(
-                {
-                    "video": video_path,
-                    "duration": meta["duration"],
-                    "timestamp": meta["timestamps"][i],
-                    "sentence": meta["sentences"][i].strip(),
-                    "qid": f"charades_{qid}",
-                }
-            )
-            qid += 1
-    return out
+        grouped = _build_charades_json(
+            f"{root}/Charades_anno/Charades_sta_{split}.txt",
+            f"{root}/Charades_anno/Charades_v1_{split}.csv",
+            json_path,
+        )
+    return _grounding_rows(
+        "charades",
+        (
+            (os.path.join(f"{root}/Charades_v1", f"{vid}.mp4"), meta["duration"], meta["timestamps"], meta["sentences"])
+            for vid, meta in grouped.items()
+        ),
+    )
 
 
 def load_tvgbench_filter(split: str) -> List[dict]:
@@ -98,139 +120,124 @@ def load_tvgbench_filter(split: str) -> List[dict]:
     their own qid + pred + video_start/end (the SF self-eval format)."""
     with open(split, "r", encoding="utf-8") as f:
         data = json.load(f)
-    out = []
-    for m in data:
-        out.append(
-            {
-                "video": m["video"],
-                "duration": m["duration"],
-                "timestamp": m["timestamp"],
-                "pred": m.get("pred"),
-                "sentence": m["sentence"],
-                "qid": m["qid"],
-                "video_start": m.get("video_start"),
-                "video_end": m.get("video_end"),
-            }
-        )
-    return out
+    keep = ("video", "duration", "timestamp", "sentence", "qid")
+    return [
+        {
+            **{k: m[k] for k in keep},
+            "pred": m.get("pred"),
+            "video_start": m.get("video_start"),
+            "video_end": m.get("video_end"),
+        }
+        for m in data
+    ]
 
 
 def load_tvgbench(split: str = "default") -> List[dict]:
-    """data_loader.py:115-178: the in-repo 800-item benchmark; answer is an
-    "s-e" string; qid = {source_stem}_{i}; rows with missing videos skipped."""
-    data_path = f"{DATA_ROOT}/timer1/annotations/tvgbench.json"
-    with open(data_path, "r") as f:
-        raw = json.load(f)
-    qid_counter, out = 0, []
+    """data_loader.py:115-178 semantics: the in-repo 800-item benchmark;
+    answer is an "s-e" string; qid = {source_stem}_{i}; rows with missing
+    videos skipped."""
+    raw = json.load(open(f"{DATA_ROOT}/timer1/annotations/tvgbench.json"))
+    out: List[dict] = []
     source_prefix = "None"
     for item in raw:
-        video_path = item["path"]
-        if not os.path.exists(video_path):
+        if not os.path.exists(item["path"]):
             continue
-        parts = item["answer"].split("-")
-        timestamp = [float(parts[0]), float(parts[1])]
-        if "source" in item and isinstance(item["source"], str):
-            source_filename = os.path.basename(item["source"])
-            source_prefix = (
-                os.path.splitext(source_filename)[0].replace(".", "_").replace("-", "_")
-            )
+        if isinstance(item.get("source"), str):
+            stem = os.path.splitext(os.path.basename(item["source"]))[0]
+            source_prefix = stem.replace(".", "_").replace("-", "_")
+        start_s, end_s = item["answer"].split("-")
         out.append(
             {
-                "video": video_path,
+                "video": item["path"],
                 "duration": item["duration"],
-                "timestamp": timestamp,
+                "timestamp": [float(start_s), float(end_s)],
                 "sentence": item["question"],
-                "qid": f"{source_prefix}_{qid_counter}",
+                "qid": f"{source_prefix}_{len(out)}",
                 "start": item.get("start"),
                 "end": item.get("end"),
             }
         )
-        qid_counter += 1
     return out
 
 
 def _iter_parquet(data_dir: str):
     import pandas as pd
 
-    files = sorted(
-        os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet")
-    )
-    for f in files:
-        df = pd.read_parquet(f)
-        for _, row in df.iterrows():
-            yield row
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        df = pd.read_parquet(os.path.join(data_dir, name))
+        yield from (row for _, row in df.iterrows())
 
 
 def load_videomme(split: str = "default") -> List[dict]:
-    """data_loader.py:181-206: parquet rows; split filters by duration class."""
+    """data_loader.py:181-206 semantics; split filters by duration class."""
     if split in ("test", "train"):
         split = "default"
     assert split in ("short", "medium", "long", "default")
-    data_root = f"{DATA_ROOT}/videomme"
-    out = []
-    for itm in _iter_parquet(f"{data_root}/videomme"):
-        if split == "default" or itm["duration"] == split:
-            out.append(
-                {
-                    "video": os.path.join(f"{data_root}/data", itm["videoID"] + ".mp4"),
-                    "question": itm["question"],
-                    "options": [op[2:].strip() for op in itm["options"]],
-                    "answer": ord(itm["answer"]) - ord("A"),
-                    "duration": None,
-                    "qid": f'videomme_{itm["question_id"]}',
-                }
-            )
-    return out
+    root = f"{DATA_ROOT}/videomme"
+    return [
+        {
+            "video": os.path.join(f"{root}/data", itm["videoID"] + ".mp4"),
+            "question": itm["question"],
+            "options": _letter_options(itm["options"]),
+            "answer": ord(itm["answer"]) - ord("A"),
+            "duration": None,
+            "qid": f'videomme_{itm["question_id"]}',
+        }
+        for itm in _iter_parquet(f"{root}/videomme")
+        if split == "default" or itm["duration"] == split
+    ]
 
 
 def load_egoschema(split: str = "default") -> List[dict]:
-    """data_loader.py:209-236."""
+    """data_loader.py:209-236 semantics."""
     if split in ("test", "train"):
         split = "default"
     assert split in ("default", "subset")
-    data_root = f"{DATA_ROOT}/egoschema"
-    data_path = f"{data_root}/Subset" if split == "subset" else f"{data_root}/MC"
-    out = []
-    for itm in _iter_parquet(data_path):
-        out.append(
-            {
-                "video": os.path.join(f"{data_root}/videos", itm["video_idx"] + ".mp4"),
-                "question": itm["question"],
-                "options": [op[2:].strip() for op in itm["option"]],
-                "answer": itm["answer"],
-                "duration": None,
-                "qid": f'egoschema_{itm["question_idx"]}',
-            }
-        )
-    return out
+    root = f"{DATA_ROOT}/egoschema"
+    source = f"{root}/Subset" if split == "subset" else f"{root}/MC"
+    return [
+        {
+            "video": os.path.join(f"{root}/videos", itm["video_idx"] + ".mp4"),
+            "question": itm["question"],
+            "options": _letter_options(itm["option"]),
+            "answer": itm["answer"],
+            "duration": None,
+            "qid": f'egoschema_{itm["question_idx"]}',
+        }
+        for itm in _iter_parquet(source)
+    ]
+
+
+def _parse_tempcompass_item(split: str, itm: dict) -> Tuple[str, list, int]:
+    """Per-split question/options/answer extraction (data_loader.py:249-275)."""
+    question, answer = itm["question"], itm["answer"]
+    if split == "yes_no":
+        options = ["yes", "no"]
+        return question, options, options.index(answer)
+    if split == "caption_matching":
+        first, *rest = question.split("\n")
+        options = [":".join(t.split(":")[1:]).strip() for t in rest]
+        return first, options, options.index(":".join(answer.split(":")[1:]).strip())
+    if split == "multi-choice":
+        first, *rest = question.split("\n")
+        return first, _letter_options(rest), ord(answer[0]) - ord("A")
+    return question, [], answer  # captioning: free-form
 
 
 def load_tempcompass(split: str = "default") -> List[dict]:
-    """data_loader.py:239-283: 4 sub-splits with per-split option parsing."""
+    """data_loader.py:239-283 semantics: 4 sub-splits."""
     if split in ("test", "train", "default"):
         split = "multi-choice"
     assert split in ("multi-choice", "captioning", "caption_matching", "yes_no")
-    data_root = f"{DATA_ROOT}/tempcompass"
-    data_path = f"{data_root}/questions/{split}.json"
-    out = []
-    for key, value in json.load(open(data_path)).items():
-        video_path = os.path.join(f"{data_root}/videos", key + ".mp4")
-        for dim in value.keys():
-            for idx, itm in enumerate(value[dim]):
-                question, options, answer = itm["question"], [], itm["answer"]
-                if split == "yes_no":
-                    options = ["yes", "no"]
-                    answer = options.index(answer)
-                if split == "caption_matching":
-                    tmp = question.split("\n")
-                    question = tmp[0]
-                    answer = ":".join(answer.split(":")[1:]).strip()
-                    options = [":".join(t.split(":")[1:]).strip() for t in tmp[1:]]
-                    answer = options.index(answer)
-                if split == "multi-choice":
-                    tmp = question.split("\n")
-                    question, answer = tmp[0], ord(answer[0]) - ord("A")
-                    options = [t[2:].strip() for t in tmp[1:]]
+    root = f"{DATA_ROOT}/tempcompass"
+    out: List[dict] = []
+    for key, dims in json.load(open(f"{root}/questions/{split}.json")).items():
+        video_path = os.path.join(f"{root}/videos", key + ".mp4")
+        for dim, items in dims.items():
+            for idx, itm in enumerate(items):
+                question, options, answer = _parse_tempcompass_item(split, itm)
                 out.append(
                     {
                         "video": video_path,
@@ -268,35 +275,34 @@ MVBENCH_VIDEO_DIRS = {
 }
 
 
+def _mvbench_clip(video: str, start, end) -> str:
+    """Pre-split clip filename scheme: {stem}_{start}_{end}.mp4 with '.'→'-'
+    in the second fields (data_loader.py:330-342)."""
+    stem = video.split(".mp4")[0]
+    return f"{stem}_{str(start).replace('.', '-')}_{str(end).replace('.', '-')}.mp4"
+
+
 def load_mvbench(split: str = "default") -> List[dict]:
-    """data_loader.py:286-349: 20 sub-tasks; items with start+end use
-    pre-split clips named {stem}_{start}_{end}.mp4 under split/."""
-    data_root = f"{DATA_ROOT}/mvbench"
-    data_path = f"{data_root}/json"
-    out = []
-    for file_name in sorted(os.listdir(data_path)):
-        data_type = file_name.split(".")[0]
-        video_dir = os.path.join(data_root, MVBENCH_VIDEO_DIRS[data_type])
-        data = json.load(open(os.path.join(data_path, file_name)))
-        for qid, itm in enumerate(data):
+    """data_loader.py:286-349 semantics: 20 sub-tasks; items carrying both
+    start and end use pre-split clips under {video_dir}/split/."""
+    root = f"{DATA_ROOT}/mvbench"
+    out: List[dict] = []
+    for file_name in sorted(os.listdir(f"{root}/json")):
+        task = file_name.split(".")[0]
+        video_dir = os.path.join(root, MVBENCH_VIDEO_DIRS[task])
+        for qid, itm in enumerate(json.load(open(os.path.join(f"{root}/json", file_name)))):
             row = {
                 "video": os.path.join(video_dir, itm["video"]),
                 "question": itm["question"],
                 "options": itm["candidates"],
                 "answer": itm["candidates"].index(itm["answer"]),
                 "duration": None,
-                "qid": f"mvbench|{data_type}|{qid}",
+                "qid": f"mvbench|{task}|{qid}",
             }
             if "start" in itm and "end" in itm:
-                clip = (
-                    itm["video"].split(".mp4")[0]
-                    + "_"
-                    + str(itm["start"]).replace(".", "-")
-                    + "_"
-                    + str(itm["end"]).replace(".", "-")
-                    + ".mp4"
+                row["video"] = os.path.join(
+                    video_dir, "split", _mvbench_clip(itm["video"], itm["start"], itm["end"])
                 )
-                row["video"] = os.path.join(video_dir, "split", clip)
             else:
                 if "start" in itm:
                     row["video_start"] = itm["start"]
