@@ -176,3 +176,49 @@ def test_calc_difficulty_merge_flow(tiny_setup, annotations, tmp_path):
     # curriculum filter consumes the merged file's difficulty fields
     sampled = filter_and_sample(data, "0070_all", k=10)
     assert isinstance(sampled, list)
+
+
+def test_evaluate_cli_quantized_serving_from_checkpoint(annotations, tmp_path, monkeypatch):
+    """The disk path of the eval CLI with the quantized-serving flags:
+    native checkpoint → load_checkpoint → Engine(quantization="int8",
+    kv_cache_quant) → sharded jsonl (vLLM --quantization/--kv-cache-dtype
+    capability, driven end-to-end)."""
+    import jax
+
+    from time_r1_tpu.cli import evaluate as evaluate_cli
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.models.qwen25vl.convert import config_to_plain_dict
+    from time_r1_tpu.utils.checkpoint import save_params
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    save_params(str(ckpt), params)
+    (ckpt / "timer1_config.json").write_text(json.dumps(config_to_plain_dict(CFG)))
+
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
+    )
+    monkeypatch.setattr(
+        Qwen25VLProcessor, "from_pretrained", classmethod(lambda cls, p: processor)
+    )
+
+    out_dir = str(tmp_path / "eval_q8")
+    args = evaluate_cli.get_args(
+        [
+            "--model_base", str(ckpt),
+            "--datasets", "tvgbench_filter",
+            "--split", annotations,
+            "--output_dir", out_dir,
+            "--use_r1_thinking_prompt",
+            "--max_new_tokens", "5",
+            "--total_pixels", str(8 * 28 * 28),
+            "--min_pixels", str(4 * 28 * 28),
+            "--quantization", "int8",
+            "--kv_cache_dtype", "int8",
+        ]
+    )
+    out_file = evaluate_cli.main(args)
+    recs = [json.loads(l) for l in open(out_file)]
+    assert {r["qid"] for r in recs} == {"tvg_0", "tvg_1"}

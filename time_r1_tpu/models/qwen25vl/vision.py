@@ -250,7 +250,20 @@ def vision_forward(
     sin = jnp.sin(emb)[:, None, :]
 
     key_bias_flat = jnp.where(prep_key_valid, 0.0, NEG_INF).astype(jnp.float32)
-    win_key_bias = key_bias_flat.reshape(n_win, 1, 1, win_patches)
+    # pack windows so the attention block covers ≥128 rows: the per-window
+    # (64, hd, 64) matmuls occupy a quarter of an MXU tile each, so a
+    # block-diagonal 2-window pack halves the matmul pass count for the same
+    # math (cross-window logits are masked to -inf → exact zeros)
+    win_pack = max(1, 128 // win_patches)
+    while n_win % win_pack != 0:
+        win_pack //= 2
+    packed = win_pack * win_patches
+    win_key_bias = key_bias_flat.reshape(n_win // win_pack, 1, 1, packed)
+    if win_pack > 1:
+        row_win = jnp.arange(packed)[:, None] // win_patches
+        col_win = jnp.arange(packed)[None, :] // win_patches
+        cross = jnp.where(row_win == col_win, 0.0, NEG_INF).astype(jnp.float32)
+        win_key_bias = win_key_bias + cross[None, None]
     n_slices, max_slice = prep_full_gather.shape
     full_key_bias = jnp.take(key_bias_flat, prep_full_gather, axis=0).reshape(
         n_slices, 1, 1, max_slice
@@ -261,9 +274,9 @@ def vision_forward(
         """q/k/v: (P, nh, hd) in layout order → (P, nh, hd)."""
 
         def window(_):
-            qw = q.reshape(n_win, win_patches, nh, hd)
-            kw = k.reshape(n_win, win_patches, nh, hd)
-            vw = v.reshape(n_win, win_patches, nh, hd)
+            qw = q.reshape(n_win // win_pack, packed, nh, hd)
+            kw = k.reshape(n_win // win_pack, packed, nh, hd)
+            vw = v.reshape(n_win // win_pack, packed, nh, hd)
             return _block_attention(qw, kw, vw, win_key_bias, scale).reshape(P, nh, hd)
 
         def full(_):
