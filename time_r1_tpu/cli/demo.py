@@ -40,6 +40,8 @@ def get_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--total_pixels", type=int, default=3584 * 28 * 28)
     p.add_argument("--min_pixels", type=int, default=16 * 28 * 28)
+    p.add_argument("--device", type=str, default="auto", help="accepted for recipe parity")
+    p.add_argument("--pipeline_parallel_size", type=int, default=1, help="accepted for recipe parity")
     return p.parse_args(argv)
 
 

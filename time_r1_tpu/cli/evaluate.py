@@ -59,6 +59,7 @@ def get_args(argv=None):
     p.add_argument(
         "--pipeline_parallel_size", type=int, default=1, help="accepted for recipe parity"
     )
+    p.add_argument("--device", type=str, default="auto", help="accepted for recipe parity")
     p.add_argument(
         "--quantization",
         type=str,

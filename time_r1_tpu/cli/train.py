@@ -102,6 +102,7 @@ def get_args(argv=None):
     p.add_argument("--report_to", type=str, default="tensorboard")
     p.add_argument("--logging_dir", type=str, default=None)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--torch_dtype", type=str, default="bfloat16", help="accepted for recipe parity")
     p.add_argument("--gradient_checkpointing", type=lambda s: s.lower() == "true", default=True)
     # PEFT/LoRA (trl ModelConfig flag names the reference consumes via TrlParser)
     p.add_argument("--use_peft", type=lambda s: s.lower() == "true", default=False)
