@@ -16,8 +16,6 @@ enable PP, so parity only requires the capability + flag plumbing.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

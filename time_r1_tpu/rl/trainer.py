@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import time
 from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
@@ -29,7 +28,6 @@ import optax
 
 from ..models.processor import Qwen25VLProcessor
 from ..models.qwen25vl import Qwen25VLConfig
-from ..utils.rewards import METRIC_FUNCS_REGISTRY, REWARD_FUNCS_REGISTRY
 from ..sampler import Engine, Request, SamplingParams
 from .grpo import (
     GRPOHyperParams,
