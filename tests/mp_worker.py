@@ -1,0 +1,80 @@
+"""Worker for the two-process distributed-DP test (test_multiprocess_dp.py).
+
+Each process: jax.distributed over localhost, 2 virtual CPU devices → a
+4-device global mesh; builds its LOCAL 4-row rollout batch (1 prompt × G=4,
+text-only), assembles the 8-row GLOBAL batch via GRPOTrainer's multi-process
+_shard_batch path, and runs ONE SPMD train step. Writes its loss to a file
+for the parent to compare against the single-process oracle."""
+
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    out_path = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "float32")
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:29877", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and jax.device_count() == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))  # repo root for time_r1_tpu
+    from test_model_parity import CFG
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.parallel import make_mesh, shard_params
+    from time_r1_tpu.rl import GRPOHyperParams, build_grpo_batch_groups, make_train_step
+    from time_r1_tpu.rl.trainer import GRPOTrainer
+
+    mesh = make_mesh(model_parallel=1)  # global (data=4, model=1)
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = shard_params(jax.tree.map(np.asarray, params), mesh)
+    hp = GRPOHyperParams(num_generations=4, beta=0.0, use_grpo=False, fix_vit=True)
+    opt = optax.adamw(1e-6)
+    step = make_train_step(CFG, hp, opt)
+    opt_state = opt.init(params)
+
+    # this process's local group (seeded per process; text-only rows)
+    rng = np.random.default_rng(100 + pid)
+    group = {
+        "prompt_ids": list(rng.integers(2, 200, 6)),
+        "completions": [
+            list(rng.integers(2, 200, int(rng.integers(2, 5)))) + [CFG.eos_token_id]
+            for _ in range(4)
+        ],
+        "advantages": rng.normal(size=4).astype(np.float32),
+        "patches": None,
+        "grid_thw": None,
+        "second_per_grid_t": 1.0,
+    }
+    local_batch = build_grpo_batch_groups(CFG, [group], pad_to=64, dtype=jnp.float32)
+
+    # borrow the trainer's multi-process batch assembly without building a
+    # full trainer (no video/processor needed here)
+    shim = object.__new__(GRPOTrainer)
+    shim.mesh = mesh
+    global_batch = GRPOTrainer._shard_batch(shim, local_batch)
+    assert global_batch.input_ids.shape[0] == 8  # 2 processes × 4 rows
+
+    with jax.set_mesh(mesh):
+        _, _, loss, _ = step(params, opt_state, global_batch)
+        jax.block_until_ready(loss)
+    with open(out_path, "w") as f:
+        f.write(repr(float(loss)))
+    sys.stdout.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

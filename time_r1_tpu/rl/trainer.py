@@ -415,22 +415,41 @@ class GRPOTrainer:
         return {"loss": float(loss), "reward": float(rewards_all.mean())}
 
     def _shard_batch(self, batch):
-        """Shard the G rollout rows over the data axis (dp over rollouts)."""
+        """Shard the P·G rollout rows over the data axis.
+
+        Multi-process (jax.distributed): each process contributes its LOCAL
+        rows and the global batch is assembled across processes
+        (`make_array_from_process_local_data`) — the global train step then
+        sees effective batch n_processes × local rows, the reference's
+        torchrun-DP semantics with GSPMD doing the gradient reduction.
+        Vision inputs stay process-local in this mode (use the offline
+        preprocessor / prepared-video path, or per-process feature
+        precompute); cross-process vision-row assembly is future work."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import DATA_AXIS
 
+        rows = NamedSharding(self.mesh, P(DATA_AXIS))
+        pos_rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        if jax.process_count() > 1:
+            def glob(x, sh):
+                return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+            return batch._replace(
+                input_ids=glob(batch.input_ids, rows),
+                attention_mask=glob(batch.attention_mask, rows),
+                completion_mask=glob(batch.completion_mask, rows),
+                advantages=glob(batch.advantages, rows),
+                position_ids=glob(batch.position_ids, pos_rows),
+            )
         if batch.input_ids.shape[0] % self.mesh.shape[DATA_AXIS] != 0:
             return batch  # G not divisible by the data axis: replicate
-        rows = NamedSharding(self.mesh, P(DATA_AXIS))
         return batch._replace(
             input_ids=jax.device_put(batch.input_ids, rows),
             attention_mask=jax.device_put(batch.attention_mask, rows),
             completion_mask=jax.device_put(batch.completion_mask, rows),
             advantages=jax.device_put(batch.advantages, rows),
-            position_ids=jax.device_put(
-                batch.position_ids, NamedSharding(self.mesh, P(None, DATA_AXIS))
-            ),
+            position_ids=jax.device_put(batch.position_ids, pos_rows),
         )
 
     def _policy_params(self) -> dict:
