@@ -324,6 +324,9 @@ class GRPOTrainer:
         `data` axis instead of processes)."""
         c = self.c
         G = c.num_generations
+        # live weights once per optimizer step (LoRA merge / re-quantization
+        # are full passes over the tree — not per example)
+        self.engine.set_params(self._policy_params())
         groups, rewards_all = [], []
         for example in examples:
             frames, sample_fps = self._load_frames(example)
@@ -342,8 +345,6 @@ class GRPOTrainer:
                 num_return_sequences=G,
                 seed=int(self._rng.integers(0, 2**31 - 1)),
             )
-            # live weights (LoRA: functionally merged; re-quantized if enabled)
-            self.engine.set_params(self._policy_params())
             with self.timers.phase("rollout"):
                 completions = self.engine.generate(
                     [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
