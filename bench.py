@@ -137,18 +137,23 @@ def main():
         cache, last, _ = jax.lax.fori_loop(0, steps, body, (cache, last, jax.random.PRNGKey(2)))
         return cache, last
 
-    # compile + warmup (int8 path)
+    # compile + warmup (int8 path). NOTE: timing syncs use a host transfer
+    # (float(jnp.sum(...))) — jax.block_until_ready has been observed to
+    # return before remote completion on the tunneled TPU backend.
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     cache, first = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
-    jax.block_until_ready(cache.k)
+    sync(first)
     t0 = time.perf_counter()
-    cache2, _ = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
-    jax.block_until_ready(cache2.k)
+    cache2, f2 = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    sync(f2)
     prefill_time = time.perf_counter() - t0
     del cache2
 
     cache = quantize_kv_cache(cache)
     c3, l3 = decode(p8, cache, first, DECODE_STEPS)  # warmup/compile (same static steps!)
-    jax.block_until_ready(l3)
+    sync(l3)
     del c3
     # steady-state throughput: best of 3 timed runs (each from a fresh
     # prefilled cache; host jitter through the TPU tunnel is the noise)
@@ -156,10 +161,12 @@ def main():
     for _ in range(3):
         cache, first = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
         cache = quantize_kv_cache(cache)
-        jax.block_until_ready(cache.k)  # timing must not absorb the async prefill
+        # timing must not absorb the async prefill OR the cache quantize
+        sync(first)
+        sync(cache.k_scale[0, 0, 0])
         t0 = time.perf_counter()
         c4, l4 = decode(p8, cache, first, DECODE_STEPS)
-        jax.block_until_ready(l4)
+        sync(l4)  # host transfer — forces real completion
         decode_time = min(decode_time, time.perf_counter() - t0)
         del c4, cache
 

@@ -189,3 +189,44 @@ def test_engine_kv_cache_quant_runs():
     assert len(out) == 2
     for row in out:
         assert 0 < len(row) <= sp.max_new_tokens
+
+
+def test_fused_mlp_kernel_matches_qmatmul_path():
+    """Pallas fused int8 MLP (interpret mode) vs the unfused qmatmul math."""
+    from time_r1_tpu.ops.fused_mlp import fused_mlp_int8
+    from time_r1_tpu.ops.quant import qmatmul
+
+    rng = np.random.default_rng(9)
+    B, hid, inter = 8, 256, 512
+    x = jnp.asarray(rng.normal(size=(B, hid)).astype(np.float32), jnp.float32)
+    gu_q8 = jnp.asarray(rng.integers(-127, 128, size=(hid, 2 * inter), dtype=np.int8))
+    gu_s = jnp.asarray(rng.uniform(0.001, 0.01, size=(1, 2 * inter)).astype(np.float32))
+    dn_q8 = jnp.asarray(rng.integers(-127, 128, size=(inter, hid), dtype=np.int8))
+    dn_s = jnp.asarray(rng.uniform(0.001, 0.01, size=(1, hid)).astype(np.float32))
+
+    got = np.asarray(
+        fused_mlp_int8(x.astype(jnp.bfloat16), gu_q8, gu_s, dn_q8, dn_s, interpret=True)
+    ).astype(np.float32)
+
+    # f32 oracle of the same math (both the kernel and the qmatmul path are
+    # bf16 approximations of this)
+    xf = np.asarray(x, np.float32)
+    yf = xf @ np.asarray(gu_q8, np.float32) * np.asarray(gu_s)
+    gate_f, up_f = np.split(yf, 2, axis=-1)
+    silu = gate_f / (1.0 + np.exp(-gate_f))
+    want = (silu * up_f) @ np.asarray(dn_q8, np.float32) * np.asarray(dn_s)
+
+    scale = np.sqrt(np.mean(want**2))
+    rms = np.sqrt(np.mean((got - want) ** 2)) / scale
+    assert rms < 0.01, rms  # bf16-accumulation tolerance
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.9999, corr
+
+    # and the unfused bf16 path lands within the same tolerance of the kernel
+    gu = {"q8": gu_q8, "s": gu_s}
+    dn = {"q8": dn_q8, "s": dn_s}
+    y = qmatmul(x.astype(jnp.bfloat16), gu)
+    gate, up = jnp.split(y, 2, axis=-1)
+    unfused = np.asarray(qmatmul(jax.nn.silu(gate) * up, dn)).astype(np.float32)
+    rms2 = np.sqrt(np.mean((got - unfused) ** 2)) / scale
+    assert rms2 < 0.02, rms2

@@ -138,9 +138,37 @@ def attn_qkv_proj(h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int):
 
 
 def mlp_proj(h: jnp.ndarray, mlp: dict) -> jnp.ndarray:
-    """SwiGLU MLP from fused ("gu") or separate layer params."""
+    """SwiGLU MLP from fused ("gu") or separate layer params.
+
+    Small-batch (decode) calls with the fused-int8 layout run the single
+    Pallas kernel (ops/fused_mlp.py) that streams gate/up/down once and
+    never writes the (B, inter) intermediates to HBM."""
+    import os
+
     import jax as _jax
 
+    # opt-in: measured SLOWER in-model than the XLA path on v5e (7.1 vs
+    # 5.3 ms/step full-decode) — XLA's weight-stream pipelining wins for
+    # these shapes; kept for layout/block-size tuning (docs/ROADMAP.md)
+    if (
+        "gu" in mlp
+        and h.ndim == 3
+        and h.shape[0] * h.shape[1] <= 128
+        and _jax.default_backend() == "tpu"
+        and os.environ.get("TIMER1_FUSED_MLP", "0") == "1"
+    ):
+        from .fused_mlp import fused_mlp_eligible, fused_mlp_int8
+
+        if fused_mlp_eligible(mlp, h.shape[-1]):
+            B, S, hid = h.shape
+            out = fused_mlp_int8(
+                h.reshape(B * S, hid),
+                mlp["gu"]["q8"],
+                mlp["gu"]["s"],
+                mlp["down_w"]["q8"],
+                mlp["down_w"]["s"],
+            )
+            return out.reshape(B, S, hid)
     if "gu" in mlp:
         gu = qmatmul(h, mlp["gu"])
         gate, up = jnp.split(gu, 2, axis=-1)
