@@ -1,6 +1,11 @@
 #!/usr/bin/env bash
 # TimeRFT GRPO post-training recipe (parity: reference scripts/posttrain/train_rl.sh).
 # One process drives the whole TPU slice via jax; no torchrun/deepspeed launchers.
+#
+# TPU-only extras (defaults match the reference recipe; opt in by appending):
+#   --rollout_quantization int8      ~1.7x faster rollouts (loss logps stay full precision)
+#   --use_peft true --lora_r 16      adapter-only training, base doubles as the KL ref
+#   --per_device_train_batch_size N  example-level DP: N prompts x G rollouts per step
 set -euo pipefail
 
 export EXP_NAME=${EXP_NAME:-3b_kl_cot_gaussian_03_iouv2_2500_ME}

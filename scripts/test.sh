@@ -10,6 +10,13 @@ DATASET=${DATASET:-charades}
 SPLIT=${SPLIT:-test}
 TOTAL=${TOTAL:-1}
 CURR=${CURR:-0}
+# optional serving knobs:
+#   TP=2            shard the model over a tensor-parallel mesh (7B on small chips)
+#   QUANT=int8      weight-only int8 decode (~1.7x on v5e)
+#   KV_DTYPE=int8   int8 KV cache for the decode phase
+TP=${TP:-1}
+QUANT=${QUANT:-}
+KV_DTYPE=${KV_DTYPE:-}
 OUTDIR=./logs/eval/$MODEL_NAME/$DATASET
 
 python -m time_r1_tpu.cli.evaluate \
@@ -21,6 +28,9 @@ python -m time_r1_tpu.cli.evaluate \
     --total_idx "$TOTAL" \
     --use_r1_thinking_prompt \
     --use_vllm_inference \
+    --tensor_parallel_size "$TP" \
+    ${QUANT:+--quantization "$QUANT"} \
+    ${KV_DTYPE:+--kv_cache_dtype "$KV_DTYPE"} \
     --max_new_tokens 1024
 
 python -m time_r1_tpu.cli.eval_all --dataset "$DATASET" --model_name "$MODEL_NAME"
