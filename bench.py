@@ -115,8 +115,11 @@ def main():
     @jax.jit
     def prefill(params, ids, pos_ids, vis):
         cache = KVCache.zeros(cfg.text, BATCH, max_len, dtype=jnp.bfloat16)
+        # flash_q_offset=0: MXU-aligned prefill rides the Pallas flash kernel
+        # (the engine's chunked-prefill path does the same)
         logits, cache = forward(
             params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache,
+            flash_q_offset=0,
         )
         first = sample_tokens(logits[:, -1], jax.random.PRNGKey(1), sp)
         return cache, first
