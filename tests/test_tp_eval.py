@@ -80,3 +80,23 @@ def test_tp2_train_step_runs():
         new_params, opt_state, loss, _ = step(params, opt_state, batch)
         jax.block_until_ready(loss)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs ≥2 virtual devices")
+def test_tp2_with_quantized_serving():
+    """TP sharding composes with weight-only int8 + int8 KV cache (the
+    --tensor_parallel_size + --quantization + --kv_cache_dtype combination):
+    quantization runs on the sharded tree under GSPMD."""
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.parallel import make_mesh, shard_params
+
+    params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    mesh = make_mesh(model_parallel=2, devices=jax.devices()[:2])
+    sharded = shard_params(jax.tree.map(np.asarray, params), mesh)
+    eng = Engine(sharded, CFG, dtype=jnp.float32, quantization="int8", kv_cache_quant=True)
+    rng = np.random.default_rng(4)
+    out = eng.generate(
+        [Request(input_ids=list(rng.integers(2, 200, 11)))],
+        SamplingParams(temperature=0.0, max_new_tokens=5, stop_token_ids=CFG.stop_token_ids),
+    )
+    assert len(out) == 1 and 0 < len(out[0]) <= 5
