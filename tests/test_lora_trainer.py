@@ -203,3 +203,24 @@ def test_rollout_quantization_step_runs(tmp_path):
     assert trainer.engine.quantization == "int8"
     info = trainer.step(dict(EXAMPLE))
     assert np.isfinite(info["loss"])
+
+
+def test_lora_quantized_rollouts_example_dp_compose(tmp_path):
+    """The three round-2 trainer features compose: LoRA adapters (merged
+    rollout weights), int8-quantized rollout sampling, and a 2-example
+    step_batch with per-group advantages."""
+    trainer = _trainer(
+        tmp_path,
+        use_peft=True,
+        lora_r=4,
+        lora_alpha=8.0,
+        rollout_quantization="int8",
+        per_device_train_batch_size=2,
+        beta=0.04,
+    )
+    assert trainer.ref_params is trainer.params  # base-as-ref, no copy
+    ex2 = dict(EXAMPLE, problem="person stands up", video_start=1.0, video_end=4.0)
+    info = trainer.step_batch([dict(EXAMPLE), ex2])
+    assert np.isfinite(info["loss"])
+    m = trainer.pop_metrics()
+    assert "kl" in m and "reward" in m
