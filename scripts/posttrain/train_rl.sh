@@ -1,8 +1,13 @@
 #!/usr/bin/env bash
 # TimeRFT GRPO post-training recipe (parity: reference scripts/posttrain/train_rl.sh).
 # One process drives the whole TPU slice via jax; no torchrun/deepspeed launchers.
+# The trainer AUTO-BUILDS a (data, model) mesh over all visible devices:
+# params/optimizer shard FSDP-style over the data axis (ZeRO-3 parity) and the
+# P*G rollout rows shard over it too. Multi-host: set JAX_COORDINATOR_ADDRESS/
+# JAX_NUM_PROCESSES/JAX_PROCESS_ID per host (torchrun rendezvous parity).
 #
 # TPU-only extras (defaults match the reference recipe; opt in by appending):
+#   --tensor_parallel_size N         model-axis width of the training mesh
 #   --rollout_quantization int8      ~1.7x faster rollouts (loss logps stay full precision)
 #   --use_peft true --lora_r 16      adapter-only training, base doubles as the KL ref
 #   --per_device_train_batch_size N  example-level DP: N prompts x G rollouts per step

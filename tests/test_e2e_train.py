@@ -35,11 +35,21 @@ def test_grpo_trainer_step_real_video(tmp_path):
         min_pixels=4 * 28 * 28,
         fix_vit=True,
     )
+    def spread_reward(completions, **kwargs):
+        # deterministic nonzero advantage spread: steps of 10 dominate the
+        # [0, 1]-bounded iou/format rewards, so the group std is always > 0
+        # and the policy update is deterministically nonzero
+        return [10.0 * i for i in range(len(completions))]
+
     trainer = GRPOTrainer(
         params,
         CFG,
         processor,
-        reward_funcs=[REWARD_FUNCS_REGISTRY["iou_v2"], REWARD_FUNCS_REGISTRY["format"]],
+        reward_funcs=[
+            REWARD_FUNCS_REGISTRY["iou_v2"],
+            REWARD_FUNCS_REGISTRY["format"],
+            spread_reward,
+        ],
         metric_funcs=(),
         config=config,
         video_loader=video_loader,
@@ -63,12 +73,9 @@ def test_grpo_trainer_step_real_video(tmp_path):
     assert "reward" in metrics and "reward_std" in metrics
     assert "completion_length" in metrics and metrics["completion_length"] <= 6
     after = trainer.params["text"]["layers"]["mlp"]["gate_w"]
-    # advantage can be all-zero if every rollout got identical reward; the
-    # update may then be zero — run a second step to make flakiness unlikely
-    if float(jnp.abs(after - before).max()) == 0.0:
-        trainer.step(example)
-        after = trainer.params["text"]["layers"]["mlp"]["gate_w"]
-    assert float(jnp.abs(after - before).max()) >= 0.0  # ran without error
+    # spread_reward guarantees a nonzero advantage spread → the update MUST
+    # move the trainable decoder weights
+    assert float(jnp.abs(after - before).max()) > 0.0
 
     # checkpointing round-trip
     trainer.save_checkpoint(str(tmp_path / "ck"))

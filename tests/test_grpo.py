@@ -127,3 +127,63 @@ def test_clip_loss_bounds_update(params):
 
 def optax_global_norm(tree):
     return float(jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree))))
+
+
+def test_vision_dedup_matches_replicated_oracle(params):
+    """build_grpo_batch_groups carries each video's patches ONCE and scatters
+    its features to all G rows via per-row feature offsets; the loss must
+    match the replicated-vision oracle (one patch copy per row — the
+    reference's B·G-row forward, timer1_trainer.py:601-607)."""
+    rng = np.random.default_rng(5)
+    hp = GRPOHyperParams(num_generations=2, beta=0.0, use_grpo=False, fix_vit=True)
+
+    def make_group(seed, g=2):
+        r = np.random.default_rng(seed)
+        grid = (2, 4, 4)
+        n_vis = 2 * 2 * 2
+        prompt = (
+            list(r.integers(2, 200, 3))
+            + [CFG.vision_start_token_id]
+            + [CFG.video_token_id] * n_vis
+            + [CFG.vision_end_token_id]
+            + [7]
+        )
+        return {
+            "prompt_ids": prompt,
+            # fixed length so the single-completion oracle groups left-pad
+            # identically (same Cmax per group)
+            "completions": [
+                list(r.integers(2, 200, 4)) + [CFG.eos_token_id] for _ in range(g)
+            ],
+            "advantages": r.normal(size=g).astype(np.float32),
+            "patches": r.normal(size=(2 * 4 * 4, CFG.vision.patch_input_dim)).astype(np.float32),
+            "grid_thw": grid,
+            "second_per_grid_t": 1.0,
+        }
+
+    from time_r1_tpu.rl import build_grpo_batch_groups
+
+    groups = [make_group(11), make_group(22)]
+    dedup = build_grpo_batch_groups(CFG, groups, pad_to=64, dtype=jnp.float32)
+    # each video's patches appear ONCE (2 videos × 32 patch rows, padded)
+    assert dedup.feat_offsets is not None
+    np.testing.assert_array_equal(np.asarray(dedup.feat_offsets), [0, 0, 8, 8])
+
+    # oracle: one single-completion group per row → per-row patch copies
+    replicated_groups = []
+    for g in groups:
+        for comp, adv in zip(g["completions"], g["advantages"]):
+            replicated_groups.append(
+                {**g, "completions": [comp], "advantages": np.array([adv], np.float32)}
+            )
+    replicated = build_grpo_batch_groups(CFG, replicated_groups, pad_to=64, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(dedup.input_ids), np.asarray(replicated.input_ids))
+    np.testing.assert_array_equal(
+        np.asarray(dedup.position_ids), np.asarray(replicated.position_ids)
+    )
+
+    l_d, m_d = grpo_loss(params, CFG, hp, dedup)
+    l_r, m_r = grpo_loss(params, CFG, hp, replicated)
+    np.testing.assert_allclose(float(l_d), float(l_r), rtol=1e-5, atol=1e-6)
+    for k in m_d:
+        np.testing.assert_allclose(float(m_d[k]), float(m_r[k]), rtol=1e-4, atol=1e-5)

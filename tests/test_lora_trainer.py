@@ -224,3 +224,53 @@ def test_lora_quantized_rollouts_example_dp_compose(tmp_path):
     assert np.isfinite(info["loss"])
     m = trainer.pop_metrics()
     assert "kl" in m and "reward" in m
+
+
+def test_lora_resume_restores_adapters_and_opt_state(tmp_path):
+    """LoRA resume consistency (ADVICE r2): the checkpoint's adapters are
+    reloaded into self.lora (base stays the original frozen checkpoint) so
+    the restored Adam moments line up with the restored adapter values —
+    NOT merged-params-over-base with freshly re-initialized adapters."""
+    trainer = _trainer(
+        tmp_path, use_peft=True, lora_r=4, lora_alpha=8.0, save_only_model=False
+    )
+    trainer.step(dict(EXAMPLE))
+    trainer.save_checkpoint(str(tmp_path / "ck"))
+    base_snapshot = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.params)
+
+    fresh = _trainer(
+        tmp_path, use_peft=True, lora_r=4, lora_alpha=8.0, save_only_model=False
+    )
+    fresh.load_checkpoint_state(str(tmp_path / "ck"))
+    # adapters reloaded bit-exact; base untouched (still the original ckpt)
+    for p, ab in trainer.lora.items():
+        for n, v in ab.items():
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(fresh.lora[p][n]))
+    for a, b in zip(jax.tree.leaves(base_snapshot), jax.tree.leaves(fresh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Adam moments restored to match the adapters
+    for w, g in zip(jax.tree.leaves(trainer.opt_state), jax.tree.leaves(fresh.opt_state)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # the effective policy (merged) matches too
+    for a, b in zip(
+        jax.tree.leaves(trainer._policy_params()), jax.tree.leaves(fresh._policy_params())
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # merged-only checkpoint (no adapters file): merged loads as the new base,
+    # stale opt_state is NOT restored
+    import os
+
+    os.remove(str(tmp_path / "ck" / "lora_adapters.npz"))
+    fresh2 = _trainer(
+        tmp_path, use_peft=True, lora_r=4, lora_alpha=8.0, save_only_model=False
+    )
+    opt_before = jax.tree.map(lambda x: np.asarray(x).copy(), fresh2.opt_state)
+    fresh2.load_checkpoint_state(str(tmp_path / "ck"))
+    for w, g in zip(jax.tree.leaves(opt_before), jax.tree.leaves(fresh2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # policy still equals the saved merged model (B=0 at re-init → merged==base)
+    for a, b in zip(
+        jax.tree.leaves(trainer._policy_params()), jax.tree.leaves(fresh2._policy_params())
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

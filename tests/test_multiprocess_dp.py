@@ -30,13 +30,21 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_COORDINATOR_ADDRESS")
     }
+    # fresh rendezvous port per run: concurrent pytest invocations (or a
+    # stale coordinator from a previous run) must not cross-connect
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
     procs, outs = [], []
     for pid in range(2):
         out = str(tmp_path / f"loss_{pid}.txt")
         outs.append(out)
         procs.append(
             subprocess.Popen(
-                [sys.executable, os.path.join(HERE, "mp_worker.py"), str(pid), out],
+                [sys.executable, os.path.join(HERE, "mp_worker.py"), str(pid), out, port],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
@@ -53,10 +61,21 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     for p in procs:
         assert p.returncode == 0, p.stderr.read()[-2000:]
 
-    losses = [float(open(o).read()) for o in outs]
+    import json
+
+    results = [json.load(open(o)) for o in outs]
+    losses = [r["loss"] for r in results]
     assert np.isfinite(losses).all()
     # SPMD: every process computes the same global loss
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+    # rank-asymmetric metric keys: the registry-keyed gather converges to the
+    # same dict on both ranks; per-key mean ignores the absent (NaN) ranks
+    m0, m1 = results[0]["metrics"], results[1]["metrics"]
+    assert m0 == m1
+    assert m0["reward"] == pytest.approx(1.5)  # mean(1.0, 2.0)
+    assert m0["rewards/format_reward"] == pytest.approx(0.5)
+    assert m0["metrics/reward_timestep_pair"] == pytest.approx(0.25)  # pid 0 only
 
     # single-process oracle on the concatenation of both processes' groups
     import optax
@@ -86,3 +105,36 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     hp = GRPOHyperParams(num_generations=4, beta=0.0, use_grpo=False, fix_vit=True)
     want, _ = grpo_loss(params, CFG, hp, batch)
     assert losses[0] == pytest.approx(float(want), rel=1e-4)
+
+    # vision-carrying step (VERDICT r2 #7): each process contributed its OWN
+    # video; both must agree with the single-process oracle over the union
+    vlosses = [r["vision_loss"] for r in results]
+    assert vlosses[0] == pytest.approx(vlosses[1], rel=1e-6)
+    vgroups = []
+    for pid in range(2):
+        grid = (2, 4, 4)
+        n_vis = (2 * 4 * 4) // CFG.vision.merge_unit
+        rv = np.random.default_rng(200 + pid)
+        vgroups.append(
+            {
+                "prompt_ids": (
+                    [5, 6]
+                    + [CFG.vision_start_token_id]
+                    + [CFG.video_token_id] * n_vis
+                    + [CFG.vision_end_token_id]
+                    + [7]
+                ),
+                "completions": [
+                    list(rv.integers(2, 200, 3)) + [CFG.eos_token_id] for _ in range(4)
+                ],
+                "advantages": rv.normal(size=4).astype(np.float32),
+                "patches": rv.normal(size=(2 * 4 * 4, CFG.vision.patch_input_dim)).astype(
+                    np.float32
+                ),
+                "grid_thw": grid,
+                "second_per_grid_t": 1.0,
+            }
+        )
+    vbatch = build_grpo_batch_groups(CFG, vgroups, pad_to=64, dtype=jnp.float32)
+    vwant, _ = grpo_loss(params, CFG, hp, vbatch)
+    assert vlosses[0] == pytest.approx(float(vwant), rel=1e-4)

@@ -74,6 +74,11 @@ def build_request(processor: Qwen25VLProcessor, args) -> Request:
 
 
 def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
+    if getattr(args, "pipeline_parallel_size", 1) > 1:
+        raise NotImplementedError(
+            "--pipeline_parallel_size > 1 is not supported by the TPU serving "
+            "path; use --tensor_parallel_size (vLLM recipes default PP to 1)"
+        )
     os.makedirs(args.output_dir, exist_ok=True)
     output_file = os.path.join(args.output_dir, "tmp_output.jsonl")
 

@@ -79,6 +79,15 @@ def main(argv=None):
     random.seed(42)
     dataset = load_json_dataset(args.train_data_path, video_folder, preprocessed)
 
+    from .train import build_train_mesh
+
+    mesh = build_train_mesh(getattr(args, "tensor_parallel_size", 1))
+    return _run(args, dataset, mesh)
+
+
+def _run(args, dataset, mesh):
+    from .train import _mesh_ctx
+
     params, cfg = load_checkpoint(args.model_name_or_path)
     processor = Qwen25VLProcessor.from_pretrained(args.model_name_or_path)
     ref_params = None
@@ -102,17 +111,19 @@ def main(argv=None):
         save_strategy=args.save_strategy,
         is_early_stopping=args.is_early_stopping,
     )
-    trainer = GRPOTrainer(
-        params,
-        cfg,
-        processor,
-        reward_funcs=[REWARD_FUNCS_REGISTRY[f] for f in args.reward_funcs],
-        metric_funcs=list(METRIC_FUNCS_REGISTRY.values()),
-        config=config,
-        video_loader=video_loader,
-        ref_params=ref_params,
-    )
-    trainer.train(dataset)
+    with _mesh_ctx(mesh):
+        trainer = GRPOTrainer(
+            params,
+            cfg,
+            processor,
+            reward_funcs=[REWARD_FUNCS_REGISTRY[f] for f in args.reward_funcs],
+            metric_funcs=list(METRIC_FUNCS_REGISTRY.values()),
+            config=config,
+            video_loader=video_loader,
+            ref_params=ref_params,
+            mesh=mesh,
+        )
+        trainer.train(dataset)
     trainer.save_checkpoint(args.output_dir)
     return trainer
 

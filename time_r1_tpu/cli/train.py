@@ -112,23 +112,66 @@ def get_args(argv=None):
         "--rollout_quantization",
         type=str,
         default="",
-        choices=["", "int8"],
+        choices=["", "int8", "int4"],
         help="weight-only quantized rollout sampling (logps recomputed full precision)",
     )
     p.add_argument("--attn_implementation", type=str, default="flash")
     p.add_argument("--dataset_name", type=str, default="xxx")
     p.add_argument("--video_folder", type=str, default="xxx")
     p.add_argument("--deepspeed", type=str, default=None, help="accepted for recipe parity; sharding is GSPMD")
+    p.add_argument(
+        "--tensor_parallel_size",
+        type=int,
+        default=1,
+        help="model-axis size of the training mesh; the data axis takes the "
+        "remaining devices (FSDP/example-DP — DeepSpeed+torchrun parity)",
+    )
     return p.parse_args(argv)
+
+
+def build_train_mesh(tensor_parallel_size: int = 1):
+    """Training mesh over ALL visible devices (the torchrun+DeepSpeed launch
+    surface, scripts/posttrain/train_rl.sh:12-18): initializes
+    jax.distributed when configured, then (data = n/tp, model = tp).
+    Returns None on a single device with tp=1 (no sharding overhead)."""
+    import jax
+
+    from ..parallel.mesh import make_mesh, maybe_init_distributed
+
+    maybe_init_distributed()
+    n = len(jax.devices())
+    if n == 1 and tensor_parallel_size <= 1:
+        return None
+    if n % max(tensor_parallel_size, 1) != 0:
+        raise ValueError(
+            f"tensor_parallel_size={tensor_parallel_size} does not divide {n} devices"
+        )
+    return make_mesh(model_parallel=max(tensor_parallel_size, 1))
 
 
 def main(args, trainer: GRPOTrainer = None):
     set_global_seed(42)
     dataset = load_json_dataset_tg(args.train_data_path, args.is_curriculum_learning)
 
-    if trainer is None:
-        import jax.numpy as jnp
+    mesh = build_train_mesh(getattr(args, "tensor_parallel_size", 1)) if trainer is None else None
+    return _run(args, trainer, mesh, dataset)
 
+
+def _mesh_ctx(mesh):
+    """Fresh context installing `mesh` as jax's ambient mesh (trainer
+    construction and the train loop trace under it); checkpoint loading stays
+    OUTSIDE (host → single-device arrays that shard_params respreads)."""
+    import contextlib
+
+    if mesh is None:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.set_mesh(mesh)
+
+
+def _run(args, trainer, mesh, dataset):
+    if trainer is None:
         params, cfg = load_checkpoint(args.model_name_or_path)
         if args.slide_window:
             cfg = cfg.with_sliding_window(True, args.sliding_window_length, args.max_window_layers)
@@ -147,6 +190,7 @@ def main(args, trainer: GRPOTrainer = None):
             max_grad_norm=args.max_grad_norm,
             num_train_epochs=args.num_train_epochs,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
+            per_device_train_batch_size=args.per_device_train_batch_size,
             max_prompt_length=args.max_prompt_length,
             max_completion_length=args.max_completion_length,
             num_generations=args.num_generations,
@@ -169,17 +213,21 @@ def main(args, trainer: GRPOTrainer = None):
             resume_from_checkpoint=args.resume_from_checkpoint,
             total_pixels=args.total_pixels,
             min_pixels=args.video_min_pixels,
+            report_to=args.report_to,
+            logging_dir=args.logging_dir,
         )
-        trainer = GRPOTrainer(
-            params,
-            cfg,
-            processor,
-            reward_funcs=[REWARD_FUNCS_REGISTRY[f] for f in args.reward_funcs],
-            metric_funcs=list(METRIC_FUNCS_REGISTRY.values()),
-            config=config,
-            video_loader=video_loader,
-            ref_params=ref_params,
-        )
+        with _mesh_ctx(mesh):
+            trainer = GRPOTrainer(
+                params,
+                cfg,
+                processor,
+                reward_funcs=[REWARD_FUNCS_REGISTRY[f] for f in args.reward_funcs],
+                metric_funcs=list(METRIC_FUNCS_REGISTRY.values()),
+                config=config,
+                video_loader=video_loader,
+                ref_params=ref_params,
+                mesh=mesh,
+            )
 
     # resume: recompute AND ENFORCE the max-steps target from
     # trainer_state.json (main.py:589-618 continuation semantics for the SF
@@ -193,14 +241,20 @@ def main(args, trainer: GRPOTrainer = None):
             # checkpoint was written with --save_only_model false
             trainer.load_checkpoint_state(args.resume_from_checkpoint)
             resumed_global_step = trainer.global_step
-            # global_step counts dataset micro-steps here (one example per
-            # step), so the quota is epochs·len(dataset) more micro-steps —
-            # the same semantics as the reference's update-count arithmetic
-            quota = math.ceil(trainer.c.num_train_epochs * len(dataset))
+            # global_step counts step_batch micro-steps: each consumes
+            # per_device_train_batch_size examples of this process's shard,
+            # so the quota is epochs · ceil(shard_len / bs) more micro-steps —
+            # the same data volume as the reference's update-count arithmetic
+            import jax
+
+            n_local = math.ceil(len(dataset) / max(jax.process_count(), 1))
+            bs = max(int(trainer.c.per_device_train_batch_size), 1)
+            quota = math.ceil(trainer.c.num_train_epochs * math.ceil(n_local / bs))
             max_steps = resumed_global_step + quota
             print(f"Resuming from step {resumed_global_step}; will stop at {max_steps}")
 
-    trainer.train(dataset, max_steps=max_steps)
+    with _mesh_ctx(mesh):
+        trainer.train(dataset, max_steps=max_steps)
     trainer.save_checkpoint(args.output_dir)
     return trainer
 

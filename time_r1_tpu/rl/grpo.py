@@ -52,8 +52,12 @@ class GRPOBatch(NamedTuple):
     attention_mask: jnp.ndarray  # (B, T) 1 for real tokens
     completion_mask: jnp.ndarray  # (B, T) 1 on completion tokens (incl. first EOS)
     advantages: jnp.ndarray  # (B,)
-    vision: Optional[VisionInputs]  # shared video patches (already replicated rows)
+    vision: Optional[VisionInputs]  # UNIQUE videos' patches (one copy per video)
     ref_logps: Optional[jnp.ndarray]  # (B, T-1) or None when beta == 0
+    # (B,) absolute feature-row start per row: the G rows of one video all
+    # point at the same feature span, so the ViT runs once per unique video
+    # (the reference reruns it over every B·G row, timer1_trainer.py:601-607)
+    feat_offsets: Optional[jnp.ndarray] = None
 
 
 def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.ndarray:
@@ -76,7 +80,8 @@ def _hidden_states(
             v.key_valid, v.full_gather, v.full_inverse, v.reverse,
         )
         embeds = merge_vision_embeddings(
-            embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id)
+            embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id),
+            feature_offset=batch.feat_offsets if batch.feat_offsets is not None else 0,
         )
     hidden, _ = decoder_forward(
         params["text"], cfg.text, embeds, batch.position_ids,

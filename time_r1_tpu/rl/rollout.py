@@ -80,13 +80,26 @@ def build_grpo_batch_groups(
     assert T >= need
 
     rows_ids, rows_attn, rows_comp, rows_adv = [], [], [], []
-    grids, spgs, patch_list = [], [], []
+    row_grids, row_spgs = [], []  # per ROW (rope consumes one grid per row)
+    vis_grids, patch_list, row_feat_starts = [], [], []  # per GROUP (dedup)
+    feat_cursor = 0
     for g in groups:
         prompt_ids = list(g["prompt_ids"])
         P = len(prompt_ids)
         completions = g["completions"]
         Cmax = max((len(c) for c in completions), default=1)
         lead = T - (P + Cmax)  # left-pad so the group's prompts align
+        has_video = g.get("grid_thw") is not None
+        if has_video:
+            # each video's patches enter the batch ONCE; its G rows all point
+            # at the same feature span via per-row feature offsets (the
+            # reference reruns the ViT over every B·G row instead —
+            # timer1_trainer.py:601-607)
+            grid = tuple(int(x) for x in g["grid_thw"])
+            vis_grids.append(grid)
+            patch_list.append(g["patches"])
+            group_start = feat_cursor
+            feat_cursor += (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
         for comp in completions:
             ids = np.full((T,), cfg.pad_token_id, np.int64)
             attn = np.zeros((T,), np.int64)
@@ -103,10 +116,10 @@ def build_grpo_batch_groups(
             rows_ids.append(ids)
             rows_attn.append(attn)
             rows_comp.append(comp_mask)
-            if g.get("grid_thw") is not None:
-                grids.append(tuple(int(x) for x in g["grid_thw"]))
-                spgs.append(float(g.get("second_per_grid_t", 1.0)))
-                patch_list.append(g["patches"])
+            if has_video:
+                row_grids.append(grid)
+                row_spgs.append(float(g.get("second_per_grid_t", 1.0)))
+                row_feat_starts.append(group_start)
         rows_adv.append(np.asarray(g["advantages"], np.float32))
 
     ids = np.stack(rows_ids)
@@ -118,18 +131,19 @@ def build_grpo_batch_groups(
     pos_ids, _ = get_rope_index(
         cfg,
         ids,
-        video_grid_thw=np.array(grids, np.int64) if grids else None,
-        second_per_grid_ts=spgs if spgs else None,
+        video_grid_thw=np.array(row_grids, np.int64) if row_grids else None,
+        second_per_grid_ts=row_spgs if row_spgs else None,
         attention_mask=attn,
     )
 
-    vis = None
+    vis, feat_offsets = None, None
     if patch_list:
-        patches = np.concatenate(patch_list, axis=0)  # row-major feature order
+        patches = np.concatenate(patch_list, axis=0)  # group-major feature order
         unit = cfg.vision.merge_unit
         pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
-        prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)
+        prep = prepare_vision_inputs(vis_grids, cfg.vision, pad_patches_to=pad_patches)
         vis = VisionInputs.build(prep, jnp.asarray(patches, dtype))
+        feat_offsets = jnp.asarray(np.array(row_feat_starts, np.int32))
 
     return GRPOBatch(
         input_ids=jnp.asarray(ids),
@@ -139,4 +153,5 @@ def build_grpo_batch_groups(
         advantages=jnp.asarray(advantages, jnp.float32),
         vision=vis,
         ref_logps=None,
+        feat_offsets=feat_offsets,
     )

@@ -280,17 +280,46 @@ class GRPOTrainer:
             out = self._gather_metrics(out)
         return out
 
-    @staticmethod
-    def _gather_metrics(metrics: dict) -> dict:
+    def _registry_keys(self) -> list[str]:
+        """The full, deterministic metric-key universe for this trainer
+        configuration. Cross-process gathers iterate THIS list (identical on
+        every rank by construction) — never the locally-populated dict, whose
+        keys are data-dependent (metric funcs returning all-None on a rank's
+        shard are skipped, e.g. mqa_answer_reward with no MCQ rows)."""
+        keys = (
+            [f"rewards/{fn.__name__}" for fn in self.reward_funcs]
+            + [f"metrics/{fn.__name__}" for fn in self.metric_funcs]
+            + ["reward", "reward_std", "completion_length", "generation_entropy",
+               "grad_norm", "loss"]
+        )
+        if self.c.beta != 0.0:
+            keys.append("kl")
+        if not self.c.use_grpo:
+            keys += ["clip_ratio/low_mean", "clip_ratio/high_mean", "clip_ratio/region_mean"]
+        return sorted(set(keys))
+
+    def _gather_metrics(self, metrics: dict) -> dict:
         """Cross-process metric mean — `accelerator.gather_for_metrics` parity
-        (timer1_trainer.py:741-777). Keys must match across processes (they
-        do: every rank runs the same reward/metric registry)."""
+        (timer1_trainer.py:741-777). Gathers a FIXED-order vector over the
+        registry keys with NaN for locally-absent values, so ranks with
+        different populated keys still exchange same-shaped arrays; per-key
+        mean ignores the NaN ranks."""
         from jax.experimental import multihost_utils
 
-        keys = sorted(metrics.keys())
-        local = np.asarray([metrics[k] for k in keys], np.float32)
-        gathered = np.asarray(multihost_utils.process_allgather(local))
-        return {k: float(gathered[:, i].mean()) for i, k in enumerate(keys)}
+        keys = self._registry_keys()
+        local = np.asarray([metrics.get(k, np.nan) for k in keys], np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(local))  # (procs, K)
+        out = {}
+        for i, k in enumerate(keys):
+            col = gathered[:, i]
+            if np.isnan(col).all():
+                continue
+            out[k] = float(np.nanmean(col))
+        # keys outside the registry stay process-local (none today; belt and
+        # braces for injected custom metrics)
+        for k, v in metrics.items():
+            out.setdefault(k, v)
+        return out
 
     # ------------------------------------------------------------------
     def _load_frames(self, example: dict):
@@ -327,28 +356,36 @@ class GRPOTrainer:
         # live weights once per optimizer step (LoRA merge / re-quantization
         # are full passes over the tree — not per example)
         self.engine.set_params(self._policy_params())
-        groups, rewards_all = [], []
+
+        # pack ALL P examples into one request batch: the engine prefills each
+        # unique prompt once and decodes the P·G rows together (the reference's
+        # DP ranks roll out concurrently; a per-example loop would run P
+        # sequential prefill+decode programs instead)
+        requests = []
         for example in examples:
             frames, sample_fps = self._load_frames(example)
-
             conv = make_conversation_video(example, c.prompt_type, c.total_pixels, c.min_pixels)
             prompt_text = self.processor.apply_chat_template(conv, add_generation_prompt=True)
             proc = self.processor(text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps])
             prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
             grid = tuple(int(x) for x in proc.video_grid_thw[0])
-            spg = proc.second_per_grid_ts[0]
-
-            sp = SamplingParams(
-                temperature=c.temperature,
-                max_new_tokens=c.max_completion_length,
-                stop_token_ids=(self.cfg.eos_token_id,),
-                num_return_sequences=G,
-                seed=int(self._rng.integers(0, 2**31 - 1)),
+            requests.append(
+                Request(prompt_ids, proc.pixel_values_videos, grid, proc.second_per_grid_ts[0])
             )
-            with self.timers.phase("rollout"):
-                completions = self.engine.generate(
-                    [Request(prompt_ids, proc.pixel_values_videos, grid, spg)], sp
-                )
+
+        sp = SamplingParams(
+            temperature=c.temperature,
+            max_new_tokens=c.max_completion_length,
+            stop_token_ids=(self.cfg.eos_token_id,),
+            num_return_sequences=G,
+            seed=int(self._rng.integers(0, 2**31 - 1)),
+        )
+        with self.timers.phase("rollout"):
+            all_completions = self.engine.generate(requests, sp)  # row-major P·G
+
+        groups, rewards_all = [], []
+        for ei, (example, req) in enumerate(zip(examples, requests)):
+            completions = all_completions[ei * G : (ei + 1) * G]
             completion_texts = self.processor.batch_decode(
                 [self._strip_stop(cmp) for cmp in completions], skip_special_tokens=True
             )
@@ -377,11 +414,11 @@ class GRPOTrainer:
             rewards_all.append(rewards)
             groups.append(
                 {
-                    "prompt_ids": prompt_ids,
+                    "prompt_ids": req.input_ids,
                     "completions": completions,
-                    "patches": proc.pixel_values_videos,
-                    "grid_thw": grid,
-                    "second_per_grid_t": spg,
+                    "patches": req.patches,
+                    "grid_thw": req.grid_thw,
+                    "second_per_grid_t": req.second_per_grid_t,
                 }
             )
 
@@ -395,7 +432,9 @@ class GRPOTrainer:
         # assemble batch + ref logps + update
         batch = build_grpo_batch_groups(self.cfg, groups, dtype=self.dtype)
         if self.mesh is not None:
-            batch = self._shard_batch(batch)
+            batch = self._shard_batch(
+                batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
+            )
         if self.ref_params is not None:
             with self.timers.phase("ref_logps"):
                 ref_logps = compute_ref_logps(self.ref_params, self.cfg, self.hp, batch)
@@ -415,7 +454,7 @@ class GRPOTrainer:
         self.global_step += 1
         return {"loss": float(loss), "reward": float(rewards_all.mean())}
 
-    def _shard_batch(self, batch):
+    def _shard_batch(self, batch, vis_grids=None):
         """Shard the P·G rollout rows over the data axis.
 
         Multi-process (jax.distributed): each process contributes its LOCAL
@@ -423,9 +462,11 @@ class GRPOTrainer:
         (`make_array_from_process_local_data`) — the global train step then
         sees effective batch n_processes × local rows, the reference's
         torchrun-DP semantics with GSPMD doing the gradient reduction.
-        Vision inputs stay process-local in this mode (use the offline
-        preprocessor / prepared-video path, or per-process feature
-        precompute); cross-process vision-row assembly is future work."""
+        Vision rows are assembled globally too (`_global_vision`): every
+        process host-allgathers the other ranks' patches + grids, rebuilds
+        the vision prep for the UNION of videos, and rebases its rows'
+        feature offsets — so a multi-host video step is one SPMD program
+        (per-rank video decode + global reduction, timer1_trainer.py:531-607)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import DATA_AXIS
@@ -436,12 +477,19 @@ class GRPOTrainer:
             def glob(x, sh):
                 return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
+            vision, feat_offsets = batch.vision, batch.feat_offsets
+            if vision is not None:
+                vision, feat_offsets = self._global_vision(batch, vis_grids)
             return batch._replace(
                 input_ids=glob(batch.input_ids, rows),
                 attention_mask=glob(batch.attention_mask, rows),
                 completion_mask=glob(batch.completion_mask, rows),
                 advantages=glob(batch.advantages, rows),
                 position_ids=glob(batch.position_ids, pos_rows),
+                vision=vision,
+                feat_offsets=(
+                    glob(feat_offsets, rows) if feat_offsets is not None else None
+                ),
             )
         if batch.input_ids.shape[0] % self.mesh.shape[DATA_AXIS] != 0:
             return batch  # G not divisible by the data axis: replicate
@@ -451,7 +499,84 @@ class GRPOTrainer:
             completion_mask=jax.device_put(batch.completion_mask, rows),
             advantages=jax.device_put(batch.advantages, rows),
             position_ids=jax.device_put(batch.position_ids, pos_rows),
+            feat_offsets=(
+                jax.device_put(batch.feat_offsets, rows)
+                if batch.feat_offsets is not None
+                else None
+            ),
         )
+
+    def _global_vision(self, batch, vis_grids):
+        """Union of every process's videos as ONE replicated VisionInputs,
+        plus this process's rows' feature offsets rebased to the global
+        feature table.
+
+        Host-side DCN allgather of patches (a few MB per video at the
+        reference budgets) + a rebuilt vision prep for the union. The ViT
+        then runs over all P_global unique videos replicated on each device —
+        the dedup already removed the G× factor; the remaining P× redundancy
+        matches the reference's per-rank B·G-row ViT forward in spirit
+        (timer1_trainer.py:601-607). Patch-axis sharding of the ViT is a
+        future optimization (window attention's gathers make GSPMD insert
+        early allgathers anyway)."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..models.qwen25vl import VisionInputs, prepare_vision_inputs
+        from .rollout import _bucket
+
+        assert vis_grids, "vision batch without grids"
+        pc, pi = jax.process_count(), jax.process_index()
+        unit = self.cfg.vision.merge_unit
+
+        # metadata allgather: per-process video counts + grids (zero-padded)
+        counts = np.asarray(
+            multihost_utils.process_allgather(np.array([len(vis_grids)], np.int64))
+        ).reshape(pc)
+        n_max = int(counts.max())
+        g_pad = np.zeros((n_max, 3), np.int64)
+        for i, g in enumerate(vis_grids):
+            g_pad[i] = g
+        grids_all = np.asarray(multihost_utils.process_allgather(g_pad)).reshape(pc, n_max, 3)
+
+        # patch allgather on host (rows padded to the max per-process bucket)
+        local_np = np.asarray(batch.vision.patches)  # includes local pad rows
+        local_rows = int(g_pad.prod(axis=1).sum())
+        rows_all = np.asarray(
+            multihost_utils.process_allgather(np.array([local_rows], np.int64))
+        ).reshape(pc)
+        pad_to = int(
+            np.asarray(
+                multihost_utils.process_allgather(np.array([local_np.shape[0]], np.int64))
+            ).max()
+        )
+        pp = np.zeros((pad_to, local_np.shape[1]), local_np.dtype)
+        pp[: local_np.shape[0]] = local_np
+        patches_all = np.asarray(multihost_utils.process_allgather(pp))
+
+        global_grids, real_patches = [], []
+        for p in range(pc):
+            for i in range(int(counts[p])):
+                global_grids.append(tuple(int(x) for x in grids_all[p, i]))
+            real_patches.append(patches_all[p, : int(rows_all[p])])
+        patches = np.concatenate(real_patches, axis=0)
+        pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
+        prep = prepare_vision_inputs(global_grids, self.cfg.vision, pad_patches_to=pad_patches)
+
+        rep = NamedSharding(self.mesh, P())
+
+        def repl(x):
+            return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+        local_vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
+        vis = VisionInputs(*[repl(leaf) for leaf in local_vis])
+
+        # rebase this process's per-row feature offsets past the earlier
+        # processes' feature rows
+        feats_per_proc = (grids_all.prod(axis=2) // unit).sum(axis=1)
+        base = int(feats_per_proc[:pi].sum())
+        feat_offsets = np.asarray(batch.feat_offsets) + base
+        return vis, feat_offsets
 
     def _policy_params(self) -> dict:
         """Current policy weights: base, or base functionally merged with the
@@ -498,10 +623,17 @@ class GRPOTrainer:
             self._setup_optimizer(schedule)
         # multi-process DP: each process trains its own dataset shard (the
         # reference's torchrun per-rank dataloader split); metric gathering
-        # happens in pop_metrics via _gather_metrics
+        # happens in pop_metrics via _gather_metrics. Shards are padded to a
+        # COMMON length by wrapping around (HF DistributedSampler semantics) —
+        # unequal shards would desynchronize the per-step collectives and
+        # hang the job when one process exits the loop early.
         shard = dataset
         if jax.process_count() > 1:
-            shard = list(dataset)[jax.process_index() :: jax.process_count()]
+            pc = jax.process_count()
+            data = list(dataset)
+            total = math.ceil(len(data) / pc) * pc
+            data = data + data[: total - len(data)]
+            shard = data[jax.process_index() :: pc]
         bs = max(int(c.per_device_train_batch_size), 1)
         for epoch in range(n_epochs):
             for i in range(0, len(shard), bs):
@@ -550,16 +682,39 @@ class GRPOTrainer:
         self.save_model_card(path)
 
     def load_checkpoint_state(self, path: str):
-        """Restore params, global_step and (when saved) optimizer state."""
+        """Restore params, global_step and (when saved) optimizer state.
+
+        LoRA runs: the checkpoint carries MERGED params plus the raw adapters
+        (lora_adapters.npz). The frozen base this trainer was constructed with
+        is the original checkpoint, so resume keeps the base untouched and
+        reloads only the adapters — the saved Adam moments then correspond to
+        the restored adapter values. A merged-only checkpoint (adapters file
+        missing) is loaded as a new base with fresh adapters; any saved
+        opt_state is SKIPPED in that case (it would be stale — moments over
+        adapter values that no longer exist)."""
         from ..utils.checkpoint import load_params
 
-        self.params = load_params(path, like=self.params)
+        restore_opt = True
+        if self.lora is not None:
+            lora_path = os.path.join(path, "lora_adapters.npz")
+            if os.path.exists(lora_path):
+                z = np.load(lora_path)
+                lora: dict[str, dict] = {}
+                for key in z.files:
+                    p, n = key.split("::")
+                    lora.setdefault(p, {})[n] = jnp.asarray(z[key], jnp.float32)
+                self.lora = lora
+            else:
+                self.params = load_params(path, like=self.params)
+                restore_opt = False
+        else:
+            self.params = load_params(path, like=self.params)
         self.engine.set_params(self._policy_params())
         state_path = os.path.join(path, "trainer_state.json")
         if os.path.exists(state_path):
             with open(state_path) as f:
                 self.global_step = json.load(f).get("global_step", self.global_step)
-        if os.path.isdir(os.path.join(path, "opt_state")):
+        if restore_opt and os.path.isdir(os.path.join(path, "opt_state")):
             self.opt_state = load_params(path, like=self.opt_state, name="opt_state")
 
     def save_model_card(self, path: str):
