@@ -55,3 +55,31 @@ def test_paged_with_video(jx_params):  # noqa: F811
     bucket = Engine(jx_params, CFG, dtype=jnp.float32)
     paged = PagedEngine(jx_params, CFG, max_slots=2, max_len=128, page_size=16, dtype=jnp.float32)
     assert paged.generate([req], sp) == bucket.generate([req], sp)
+
+
+def test_paged_int8_kv_matches_bucket_int8_kv_greedy(jx_params):  # noqa: F811
+    """int8 KV pages compose with the paged pool: greedy outputs match the
+    bucket engine running its own int8 KV cache (same per-(token, head)
+    quantization, scales folded on the score/prob axes)."""
+    rng = np.random.default_rng(2)
+    reqs = [
+        Request(input_ids=list(rng.integers(2, 200, int(n))))
+        for n in (9, 33, 17, 25)
+    ]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_token_ids=CFG.stop_token_ids)
+
+    bucket = Engine(jx_params, CFG, dtype=jnp.float32, kv_cache_quant=True)
+    paged = PagedEngine(
+        jx_params, CFG, max_slots=2, max_len=128, page_size=16, dtype=jnp.float32,
+        kv_cache_quant=True,
+    )
+    want = bucket.generate(reqs, sp)
+    got = paged.generate(reqs, sp)
+    assert got == want
+    # and int8 KV stays close to the bf16 paged path (same argmax on tiny
+    # random models whose logit gaps dominate the quantization noise)
+    bf16 = PagedEngine(
+        jx_params, CFG, max_slots=2, max_len=128, page_size=16, dtype=jnp.float32
+    ).generate(reqs, sp)
+    agree = sum(a == b for a, b in zip(got, bf16))
+    assert agree >= len(reqs) - 1, (got, bf16)

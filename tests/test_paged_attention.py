@@ -81,3 +81,46 @@ def test_combine_with_new_token_equals_concat_softmax(lengths):
                 p /= p.sum()
                 want = p @ vals
                 np.testing.assert_allclose(got[s, h, g], want, rtol=1e-4, atol=1e-4)
+
+
+def _quantize_pages(pages):
+    """Per-(token, head) int8 quantization of (NKV, N_PAGES, P, HD) pages."""
+    from time_r1_tpu.ops.quant import quantize_kv
+
+    q8, s = quantize_kv(jnp.asarray(pages))
+    return q8, s
+
+
+def test_q8_kernel_matches_q8_oracle():
+    from time_r1_tpu.ops.paged_attention import (
+        paged_prefix_attention_q8,
+        paged_prefix_attention_q8_reference,
+    )
+
+    q, kp, vp, pt, ln = _setup(seed=3)
+    k8, ks = _quantize_pages(kp)
+    v8, vs = _quantize_pages(vp)
+    acc_k, m_k, l_k = paged_prefix_attention_q8(q, k8, v8, ks, vs, pt, ln, P, interpret=True)
+    acc_r, m_r, l_r = paged_prefix_attention_q8_reference(q, k8, v8, ks, vs, pt, ln, P)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_r), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_r), rtol=1e-4, atol=1e-3)
+
+
+def test_q8_tracks_bf16_within_quant_error():
+    """int8 pages + folded scales ≈ full-precision paged attention (the
+    normalized outputs, not the raw online-softmax state, are comparable)."""
+    from time_r1_tpu.ops.paged_attention import (
+        paged_prefix_attention_q8,
+        paged_prefix_attention_reference,
+    )
+
+    q, kp, vp, pt, ln = _setup(seed=4, lengths=(128, 256, 300))
+    k8, ks = _quantize_pages(kp)
+    v8, vs = _quantize_pages(vp)
+    acc_q, m_q, l_q = paged_prefix_attention_q8(q, k8, v8, ks, vs, pt, ln, P, interpret=True)
+    acc_f, m_f, l_f = paged_prefix_attention_reference(q, kp, vp, pt, ln, P)
+    out_q = np.asarray(acc_q) / np.asarray(l_q)[..., None]
+    out_f = np.asarray(acc_f) / np.asarray(l_f)[..., None]
+    corr = np.corrcoef(out_q.ravel(), out_f.ravel())[0, 1]
+    assert corr > 0.995, corr

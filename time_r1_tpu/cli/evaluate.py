@@ -64,8 +64,9 @@ def get_args(argv=None):
         "--quantization",
         type=str,
         default="",
-        choices=["", "int8"],
-        help="weight-only quantized serving (vLLM --quantization capability)",
+        choices=["", "int8", "int4"],
+        help="weight-only quantized serving (vLLM --quantization capability; "
+        "int4 = Pallas dequant-matmul, half the weight HBM of int8)",
     )
     p.add_argument(
         "--kv_cache_dtype",
@@ -80,9 +81,20 @@ def get_args(argv=None):
     p.add_argument(
         "--use_continuous_batching",
         action="store_true",
-        help="slot-pool scheduler instead of bucket batching (vLLM-like)",
+        help="continuous batching over the PAGED KV pool (vLLM engine model); "
+        "composes with --quantization and --kv_cache_dtype",
+    )
+    p.add_argument(
+        "--kv_block_size",
+        type=int,
+        default=128,
+        help="KV page size for continuous batching (vLLM --block-size); "
+        "0 → legacy slot-pool scheduler (contiguous per-slot cache)",
     )
     p.add_argument("--max_model_len", type=int, default=0, help="slot length for continuous batching (0 → auto)")
+    p.add_argument(
+        "--limit", type=int, default=0, help="stop after N items (0 = all; parity-harness cap)"
+    )
     args = p.parse_args(argv)
 
     if any(d in args.datasets for d in ("mvbench", "videomme", "tempcompass", "egoschema")):
@@ -97,6 +109,14 @@ def get_args(argv=None):
 
 
 def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
+    if getattr(args, "pipeline_parallel_size", 1) > 1:
+        # honest fence: the GPipe forward (parallel/pipeline.py) is not wired
+        # into the serving path yet — refuse rather than silently ignore the
+        # flag (the reference's vLLM PP default is 1 in every recipe)
+        raise NotImplementedError(
+            "--pipeline_parallel_size > 1 is not supported by the TPU serving "
+            "path; use --tensor_parallel_size (vLLM recipes default PP to 1)"
+        )
     os.makedirs(args.output_dir, exist_ok=True)
     output_file = os.path.join(
         args.output_dir, f"{args.datatype}_{args.curr_idx}_{args.total_idx}.jsonl"
@@ -135,16 +155,39 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
         )
         processor = Qwen25VLProcessor.from_pretrained(args.model_base)
     if getattr(args, "use_continuous_batching", False):
-        from ..sampler.continuous import ContinuousEngine
-
         # max_model_len parity: total_pixels//28//28 + 4096 + max_new_tokens
         # (vllm_infer.py:52)
         max_len = args.max_model_len or (
             args.total_pixels // 28 // 28 + 4096 + args.max_new_tokens
         )
-        gen_engine = ContinuousEngine(
-            engine.params, engine.cfg, max_slots=max(args.batch_size, 1), max_len=max_len
-        )
+        kv_block = getattr(args, "kv_block_size", 128)
+        kv_quant = getattr(args, "kv_cache_dtype", "") == "int8"
+        if kv_block > 0:
+            # the production engine: paged KV pool + Pallas paged-attention
+            # kernel; HBM bounded by resident tokens, int8 weights/KV compose
+            # (vLLM engine composition, vllm_infer.py:40-58)
+            from ..sampler.paged import PagedEngine
+
+            max_len = -(-max_len // kv_block) * kv_block
+            gen_engine = PagedEngine(
+                engine.params,
+                engine.cfg,
+                max_slots=max(args.batch_size, 1),
+                max_len=max_len,
+                page_size=kv_block,
+                kv_cache_quant=kv_quant,
+            )
+        else:
+            from ..sampler.continuous import ContinuousEngine
+
+            if kv_quant:
+                raise ValueError(
+                    "--kv_cache_dtype int8 requires the paged pool "
+                    "(--kv_block_size > 0); the legacy slot engine is bf16-only"
+                )
+            gen_engine = ContinuousEngine(
+                engine.params, engine.cfg, max_slots=max(args.batch_size, 1), max_len=max_len
+            )
     else:
         gen_engine = engine
     text_engine = TextEngine(gen_engine, processor)
@@ -178,7 +221,10 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
         answer_prompt = ANSWER_PROMPT
 
     n_done = 0
+    limit = getattr(args, "limit", 0)
     for batch in dataset.iter_batches(args.batch_size):
+        if limit and n_done >= limit:
+            break
         if prob_mode:
             import numpy as _np
 

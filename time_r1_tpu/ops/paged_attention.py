@@ -166,6 +166,161 @@ def paged_prefix_attention(
     return acc, m[..., 0], l[..., 0]
 
 
+def _kernel_q8(
+    # scalar prefetch
+    pt_ref,  # (S, max_pages) int32 page table
+    len_ref,  # (S,) int32 prefix lengths
+    # blocks
+    q_ref,  # (1, 1, G, hd)
+    k_ref,  # (1, 1, P, hd) int8
+    v_ref,  # (1, 1, P, hd) int8
+    ks_ref,  # (1, 1, P) f32 per-token K scales
+    vs_ref,  # (1, 1, P) f32 per-token V scales
+    o_ref,  # (1, 1, G, hd) fp32 — UNNORMALIZED acc
+    m_ref,  # (1, 1, G, 128) fp32
+    l_ref,  # (1, 1, G, 128) fp32
+    # scratch
+    macc,
+    lacc,
+    acc,
+    *,
+    page_size: int,
+    scale: float,
+):
+    """int8-KV variant: pages stream as int8 + per-(token, head) f32 scales;
+    the dequant folds into the score/probability axes — scores = s_k·(q·k8)
+    and out += (p·s_v)·v8 — so the bf16 K/V never materialize (ops/quant.py
+    exactness trick, here applied per page)."""
+    s = pl.program_id(0)
+    j = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    G, hd = q_ref.shape[2], q_ref.shape[3]
+    P = page_size
+
+    @pl.when(j == 0)
+    def _init():
+        macc[...] = jnp.full((G, 1), NEG_INF, jnp.float32)
+        lacc[...] = jnp.zeros((G, 1), jnp.float32)
+        acc[...] = jnp.zeros((G, hd), jnp.float32)
+
+    length = len_ref[s]
+    start = j * P
+
+    @pl.when(start < length)
+    def _page():
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, hd)
+        k = k_ref[0, 0].astype(jnp.float32)  # (P, hd) dequant-free int8→f32
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, P)
+        sc = sc * ks_ref[0, 0][None, :]  # fold K scales on the key axis
+        pos = start + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
+        sc = jnp.where(pos < length, sc, NEG_INF)
+        m_new = jnp.maximum(macc[...], jnp.max(sc, axis=1, keepdims=True))
+        corr = jnp.exp(macc[...] - m_new)
+        p = jnp.exp(sc - m_new)  # (G, P)
+        lacc[...] = lacc[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)  # (P, hd)
+        pv = p * vs_ref[0, 0][None, :]  # fold V scales on the prob axis
+        acc[...] = acc[...] * corr + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        macc[...] = m_new
+
+    @pl.when(j == n_pages - 1)
+    def _out():
+        o_ref[0, 0] = acc[...]
+        m_ref[0, 0] = jnp.broadcast_to(macc[...], (G, 128))
+        l_ref[0, 0] = jnp.broadcast_to(lacc[...], (G, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("page_size", "interpret"))
+def paged_prefix_attention_q8(
+    q: jnp.ndarray,  # (S, nkv, G, hd) — grouped query heads, post-rope
+    k_pages: jnp.ndarray,  # (nkv, n_pages, P, hd) int8
+    v_pages: jnp.ndarray,  # (nkv, n_pages, P, hd) int8
+    k_scale: jnp.ndarray,  # (nkv, n_pages, P) f32
+    v_scale: jnp.ndarray,  # (nkv, n_pages, P) f32
+    page_table: jnp.ndarray,  # (S, max_pages) int32
+    lengths: jnp.ndarray,  # (S,) int32
+    page_size: int,
+    interpret: bool | None = None,
+):
+    """int8-paged variant of paged_prefix_attention — same (acc, m, l)
+    contract; HBM streams half the page bytes (vLLM --kv-cache-dtype int8
+    capability composed with paged KV)."""
+    S, nkv, G, hd = q.shape
+    max_pages = page_table.shape[1]
+    P = page_size
+    scale = hd**-0.5
+    if interpret is None:
+        interpret = _interpret()
+
+    pt = page_table.astype(jnp.int32)
+    ln = lengths.astype(jnp.int32)
+
+    def q_index(s, h, j, pt_ref, len_ref):
+        return (s, h, 0, 0)
+
+    def kv_index(s, h, j, pt_ref, len_ref):
+        last = jnp.maximum((len_ref[s] - 1) // P, 0)
+        return (h, pt_ref[s, jnp.minimum(j, last)], 0, 0)
+
+    def scale_index(s, h, j, pt_ref, len_ref):
+        last = jnp.maximum((len_ref[s] - 1) // P, 0)
+        return (h, pt_ref[s, jnp.minimum(j, last)], 0)
+
+    def o_index(s, h, j, pt_ref, len_ref):
+        return (s, h, 0, 0)
+
+    grid = (S, nkv, max_pages)
+    kernel = functools.partial(_kernel_q8, page_size=P, scale=scale)
+    out_shape = [
+        jax.ShapeDtypeStruct((S, nkv, G, hd), jnp.float32),
+        jax.ShapeDtypeStruct((S, nkv, G, 128), jnp.float32),
+        jax.ShapeDtypeStruct((S, nkv, G, 128), jnp.float32),
+    ]
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), q_index),
+            pl.BlockSpec((1, 1, P, hd), kv_index),
+            pl.BlockSpec((1, 1, P, hd), kv_index),
+            pl.BlockSpec((1, 1, P), scale_index),
+            pl.BlockSpec((1, 1, P), scale_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, hd), o_index),
+            pl.BlockSpec((1, 1, G, 128), o_index),
+            pl.BlockSpec((1, 1, G, 128), o_index),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),
+            pltpu.VMEM((G, hd), jnp.float32),
+        ],
+    )
+    acc, m, l = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
+    )(pt, ln, q, k_pages, v_pages, k_scale, v_scale)
+    return acc, m[..., 0], l[..., 0]
+
+
+def paged_prefix_attention_q8_reference(
+    q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, page_size
+):
+    """jnp oracle for the int8-paged kernel: dequantize the pages, then run
+    the bf16 oracle (used for parity tests and the non-TPU engine path)."""
+    kd = k_pages.astype(jnp.float32) * k_scale[..., None]
+    vd = v_pages.astype(jnp.float32) * v_scale[..., None]
+    return paged_prefix_attention_reference(
+        q, kd, vd, page_table, lengths, page_size
+    )
+
+
 def paged_prefix_attention_reference(q, k_pages, v_pages, page_table, lengths, page_size):
     """jnp oracle with the same (acc, m, l) contract — materializes the
     contiguous per-slot view (the round-1 approach); used for kernel parity

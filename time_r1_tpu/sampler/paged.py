@@ -41,10 +41,14 @@ from .params import SamplingParams
 
 
 class PagedPool(NamedTuple):
-    k: jnp.ndarray  # (L, Hkv, n_pages, P, hd)
+    k: jnp.ndarray  # (L, Hkv, n_pages, P, hd) — bf16, or int8 when quantized
     v: jnp.ndarray
     page_table: jnp.ndarray  # (slots, max_pages) int32
     lengths: jnp.ndarray  # (slots,) int32
+    # int8-KV mode (vLLM --kv-cache-dtype int8 capability composed with the
+    # paged pool): per-(token, head) f32 scales; None in bf16 mode
+    k_scale: jnp.ndarray | None = None  # (L, Hkv, n_pages, P)
+    v_scale: jnp.ndarray | None = None
 
 
 class PageAllocator:
@@ -65,15 +69,24 @@ class PageAllocator:
 
 
 def make_pool(
-    cfg: Qwen25VLConfig, n_pages: int, page_size: int, slots: int, max_pages: int, dtype=jnp.bfloat16
+    cfg: Qwen25VLConfig,
+    n_pages: int,
+    page_size: int,
+    slots: int,
+    max_pages: int,
+    dtype=jnp.bfloat16,
+    kv_quant: bool = False,
 ) -> PagedPool:
     t = cfg.text
     shape = (t.num_hidden_layers, t.num_key_value_heads, n_pages, page_size, t.head_dim)
+    kv_dtype = jnp.int8 if kv_quant else dtype
     return PagedPool(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros(shape, kv_dtype),
+        v=jnp.zeros(shape, kv_dtype),
         page_table=jnp.zeros((slots, max_pages), jnp.int32),
         lengths=jnp.zeros((slots,), jnp.int32),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if kv_quant else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) if kv_quant else None,
     )
 
 
@@ -87,18 +100,34 @@ def write_prompt(
     v_seq: jnp.ndarray,
     length: jnp.ndarray,  # () int32 true token count (≤ S)
 ) -> PagedPool:
-    """Scatter a prefilled sequence into its pages and register the slot."""
+    """Scatter a prefilled sequence into its pages and register the slot.
+    int8 pools quantize per (token, head) at write time (prefill stays bf16)."""
     L = pool.k.shape[0]
     P = pool.k.shape[3]
     n = prompt_pages.shape[0]
-    # (L, S, Hkv, hd) → (L, Hkv, n, P, hd)
-    kp = k_seq.reshape(L, n, P, *k_seq.shape[2:]).transpose(0, 3, 1, 2, 4).astype(pool.k.dtype)
-    vp = v_seq.reshape(L, n, P, *v_seq.shape[2:]).transpose(0, 3, 1, 2, 4).astype(pool.v.dtype)
+
+    def to_pages(seq):  # (L, S, Hkv, hd) → (L, Hkv, n, P, hd)
+        return seq.reshape(L, n, P, *seq.shape[2:]).transpose(0, 3, 1, 2, 4)
+
+    new_ks, new_vs = pool.k_scale, pool.v_scale
+    if pool.k_scale is not None:
+        from ..ops.quant import quantize_kv
+
+        k8, ks = quantize_kv(k_seq)  # scales (L, S, Hkv)
+        v8, vs = quantize_kv(v_seq)
+        kp, vp = to_pages(k8), to_pages(v8)
+        ksp = ks.reshape(L, n, P, -1).transpose(0, 3, 1, 2)  # (L, Hkv, n, P)
+        vsp = vs.reshape(L, n, P, -1).transpose(0, 3, 1, 2)
+        new_ks = pool.k_scale.at[:, :, prompt_pages].set(ksp)
+        new_vs = pool.v_scale.at[:, :, prompt_pages].set(vsp)
+    else:
+        kp = to_pages(k_seq).astype(pool.k.dtype)
+        vp = to_pages(v_seq).astype(pool.v.dtype)
     new_k = pool.k.at[:, :, prompt_pages].set(kp)
     new_v = pool.v.at[:, :, prompt_pages].set(vp)
     new_table = pool.page_table.at[slot].set(table_row.astype(jnp.int32))
     new_lengths = pool.lengths.at[slot].set(length.astype(jnp.int32))
-    return PagedPool(new_k, new_v, new_table, new_lengths)
+    return PagedPool(new_k, new_v, new_table, new_lengths, new_ks, new_vs)
 
 
 def _paged_one_step(
@@ -116,6 +145,8 @@ def _paged_one_step(
     from ..ops.paged_attention import (
         combine_with_new_token,
         paged_prefix_attention,
+        paged_prefix_attention_q8,
+        paged_prefix_attention_q8_reference,
         paged_prefix_attention_reference,
     )
 
@@ -125,6 +156,7 @@ def _paged_one_step(
     eps = tcfg.rms_norm_eps
     slots, max_pages = pool.page_table.shape
     P = pool.k.shape[3]
+    kv_quant = pool.k_scale is not None
 
     pos = start_pos + steps
     pos3 = jnp.broadcast_to(pos[None, :, None], (3, slots, 1))
@@ -139,7 +171,10 @@ def _paged_one_step(
     use_kernel = jax.default_backend() == "tpu" and hd % 128 == 0 and P % 128 == 0
 
     def layer(x, scanned):
-        lp, layer_k, layer_v = scanned  # layer_k/v: (nkv, n_pages, P, hd)
+        if kv_quant:
+            lp, layer_k, layer_v, layer_ks, layer_vs = scanned
+        else:
+            lp, layer_k, layer_v = scanned  # layer_k/v: (nkv, n_pages, P, hd)
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
         q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
@@ -148,11 +183,18 @@ def _paged_one_step(
         # grouped queries (slots, nkv, G, hd); prefix attention over pages
         # IN PLACE (scalar-prefetched page table — no contiguous view)
         qg = q[:, 0].reshape(slots, nkv, G, hd)
-        fn = paged_prefix_attention if use_kernel else paged_prefix_attention_reference
-        acc, m, l = fn(
-            qg, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
-            pool.page_table, pool.lengths, P,
-        )
+        if kv_quant:
+            fn = paged_prefix_attention_q8 if use_kernel else paged_prefix_attention_q8_reference
+            acc, m, l = fn(
+                qg, layer_k, layer_v, layer_ks, layer_vs,
+                pool.page_table, pool.lengths, P,
+            )
+        else:
+            fn = paged_prefix_attention if use_kernel else paged_prefix_attention_reference
+            acc, m, l = fn(
+                qg, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
+                pool.page_table, pool.lengths, P,
+            )
         attn = combine_with_new_token(acc, m, l, qg, k[:, 0], v[:, 0])
         attn = attn.reshape(slots, 1, nh * hd).astype(x.dtype)
         x = x + qmatmul(attn, lp["self_attn"]["o_w"])
@@ -160,7 +202,12 @@ def _paged_one_step(
         x = x + mlp_proj(h, lp["mlp"])
         return x, (k[:, 0], v[:, 0])
 
-    x, (ks, vs) = jax.lax.scan(layer, x, (params["text"]["layers"], pool.k, pool.v))
+    scanned = (
+        (params["text"]["layers"], pool.k, pool.v, pool.k_scale, pool.v_scale)
+        if kv_quant
+        else (params["text"]["layers"], pool.k, pool.v)
+    )
+    x, (ks, vs) = jax.lax.scan(layer, x, scanned)
     # ks/vs: (L, slots, nkv, hd) — ONE all-layer scatter at each slot's write
     # cell. Dead slots write into the reserved scratch page 0 (their stale
     # page tables may reference pages reallocated to other slots).
@@ -169,6 +216,15 @@ def _paged_one_step(
     )[:, 0]
     write_page = jnp.where(live, write_page, 0)
     write_off = jnp.where(live, pool.lengths % P, 0)
+    new_ksc, new_vsc = pool.k_scale, pool.v_scale
+    if kv_quant:
+        from ..ops.quant import quantize_kv
+
+        k8, ksc = quantize_kv(ks)  # (L, slots, nkv) scales
+        v8, vsc = quantize_kv(vs)
+        ks, vs = k8, v8
+        new_ksc = pool.k_scale.at[:, :, write_page, write_off].set(ksc.transpose(0, 2, 1))
+        new_vsc = pool.v_scale.at[:, :, write_page, write_off].set(vsc.transpose(0, 2, 1))
     pk = pool.k.at[:, :, write_page, write_off].set(
         ks.transpose(0, 2, 1, 3).astype(pool.k.dtype)
     )
@@ -184,6 +240,7 @@ def _paged_one_step(
     pool = PagedPool(
         k=pk, v=pv, page_table=pool.page_table,
         lengths=pool.lengths + live.astype(jnp.int32),
+        k_scale=new_ksc, v_scale=new_vsc,
     )
     return pool, nxt
 
@@ -240,6 +297,7 @@ class PagedEngine:
         prefill_chunk_tokens: int = 8192,
         segment: int = 16,
         quantization: str | None = None,  # None | "int8" (weight-only, ops/quant.py)
+        kv_cache_quant: bool = False,  # int8 pages + per-token scales
     ):
         from .engine import Engine
 
@@ -256,6 +314,8 @@ class PagedEngine:
         self.n_pages = n_pages or self.max_pages * max_slots
         self.dtype = dtype
         self.segment = segment
+        self.kv_cache_quant = kv_cache_quant
+        # prefill (and its cache) stay bf16; pages quantize at write_prompt
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
     def _admit_many(self, pool, allocator, admits, sp):
@@ -309,7 +369,10 @@ class PagedEngine:
         results: dict[int, list[int]] = {}
         stop_set = set(sp.stop_token_ids)
 
-        pool = make_pool(self.cfg, self.n_pages, self.P, self.max_slots, self.max_pages, self.dtype)
+        pool = make_pool(
+            self.cfg, self.n_pages, self.P, self.max_slots, self.max_pages,
+            self.dtype, kv_quant=self.kv_cache_quant,
+        )
         allocator = PageAllocator(self.n_pages)
         slot_req = [None] * self.max_slots
         slot_tokens: list[list[int]] = [[] for _ in range(self.max_slots)]
