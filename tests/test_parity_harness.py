@@ -1,0 +1,96 @@
+"""The turnkey parity harness (cli/parity.py) end-to-end on a tiny HF-format
+checkpoint: activation diffing vs HF torch, demo fixture record/verify, and
+graceful benchmark skip (VERDICT r2 #4 — parity is ONE command the day real
+weights land)."""
+
+import json
+import os
+
+import pytest
+
+import jax
+
+from test_model_parity import CFG, hf_model, jx_params  # fixtures  # noqa: F401
+from tiny_tokenizer import TinyTokenizer
+
+
+@pytest.fixture(scope="module")
+def hf_ckpt_dir(hf_model, tmp_path_factory):  # noqa: F811
+    """The tiny HF model saved as a REAL HF checkpoint dir (config.json +
+    safetensors) — the exact format the published weights ship in.
+
+    save_pretrained on new-era transformers nests the vision token ids under
+    text_config only; the published Qwen2.5-VL configs carry them at the TOP
+    level too (and HF's own forward reads them from there) — restore that
+    layout so the fixture matches real checkpoints."""
+    d = tmp_path_factory.mktemp("hf_ckpt")
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+    cfg_path = os.path.join(str(d), "config.json")
+    cfg = json.load(open(cfg_path))
+    for key in (
+        "video_token_id",
+        "image_token_id",
+        "vision_start_token_id",
+        "vision_end_token_id",
+    ):
+        cfg[key] = getattr(CFG, key)
+    json.dump(cfg, open(cfg_path, "w"))
+    return str(d)
+
+
+def test_parity_harness_end_to_end(hf_ckpt_dir, tmp_path, monkeypatch):
+    from time_r1_tpu.cli import parity as parity_cli
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
+    )
+    monkeypatch.setattr(
+        Qwen25VLProcessor, "from_pretrained", classmethod(lambda cls, p: processor)
+    )
+
+    out1 = str(tmp_path / "round1")
+    args = parity_cli.get_args(
+        [
+            "--model_base", hf_ckpt_dir,
+            "--output_dir", out1,
+            "--total_pixels", str(8 * 28 * 28),
+            "--min_pixels", str(4 * 28 * 28),
+            "--max_new_tokens", "4",
+            "--charades_n", "2",
+        ]
+    )
+    rc = parity_cli.main(args)
+    report = json.load(open(os.path.join(out1, "parity_report.json")))
+
+    # activations: tiny ckpt converts losslessly → layerwise diff passes
+    assert report["activations"]["status"] == "pass", report["activations"]["detail"]
+    assert "layer 00" in report["activations"]["detail"]
+    assert "bf16 greedy argmax agreement" in report["activations"]["detail"]
+    # demo: no fixture yet → candidate recorded
+    assert report["demo"]["status"] == "recorded"
+    cand = os.path.join(out1, "demo_candidate.json")
+    assert os.path.exists(cand)
+    # benchmark: charades data not on this host → skip, not fail
+    assert report["benchmark"]["status"] == "skip"
+    assert rc == 0  # nothing that ran failed
+
+    # second run WITH the recorded fixture: demo must verify (greedy decode
+    # is deterministic) — this is the real-weights workflow
+    out2 = str(tmp_path / "round2")
+    args2 = parity_cli.get_args(
+        [
+            "--model_base", hf_ckpt_dir,
+            "--output_dir", out2,
+            "--expected", cand,
+            "--total_pixels", str(8 * 28 * 28),
+            "--min_pixels", str(4 * 28 * 28),
+            "--max_new_tokens", "4",
+            "--skip_activations",
+            "--skip_benchmark",
+        ]
+    )
+    rc2 = parity_cli.main(args2)
+    report2 = json.load(open(os.path.join(out2, "parity_report.json")))
+    assert report2["demo"]["status"] == "pass", report2["demo"]["detail"]
+    assert rc2 == 0

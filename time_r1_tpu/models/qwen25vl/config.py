@@ -170,16 +170,21 @@ class Qwen25VLConfig:
             sliding_window=t.get("sliding_window"),
             max_window_layers=t.get("max_window_layers", 70),
         )
+        def tok(key, default):
+            # token ids live at the top level in old-era configs and under
+            # text_config in new-era (transformers ≥4.52) saves — check both
+            return d.get(key, t.get(key, default))
+
         return Qwen25VLConfig(
             vision=vision,
             text=text,
-            image_token_id=d.get("image_token_id", 151655),
-            video_token_id=d.get("video_token_id", 151656),
-            vision_start_token_id=d.get("vision_start_token_id", 151652),
-            vision_end_token_id=d.get("vision_end_token_id", 151653),
-            bos_token_id=d.get("bos_token_id", 151643),
-            eos_token_id=d.get("eos_token_id", 151645),
-            pad_token_id=d.get("pad_token_id", 151643) or 151643,
+            image_token_id=tok("image_token_id", 151655),
+            video_token_id=tok("video_token_id", 151656),
+            vision_start_token_id=tok("vision_start_token_id", 151652),
+            vision_end_token_id=tok("vision_end_token_id", 151653),
+            bos_token_id=tok("bos_token_id", 151643),
+            eos_token_id=tok("eos_token_id", 151645),
+            pad_token_id=tok("pad_token_id", 151643) or 151643,
         )
 
     def with_sliding_window(self, enabled: bool, window: int, max_window_layers: int) -> "Qwen25VLConfig":

@@ -152,8 +152,14 @@ def decoder_forward(
     use_flash: Optional[bool] = None,
     flash_q_offset: Optional[int] = None,  # STATIC offset enabling flash in the cached prefill
     remat: bool = False,  # jax.checkpoint per layer (reference --gradient_checkpointing)
+    collect_hiddens: bool = False,  # ALSO return per-layer outputs (parity harness)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
+
+    collect_hiddens=True (no-cache path only) changes the return to
+    (hidden, cache, per_layer (L, B, S, hid)) — each layer's output before
+    the final norm, matching HF `output_hidden_states` layer slots 1..L.
+    Used by cli/parity.py for layerwise activation diffing vs HF torch.
 
     Without cache: causal attention over the S tokens.
     With cache: the S tokens are appended at positions [length, length+S) of
@@ -315,6 +321,14 @@ def decoder_forward(
         new_cache = KVCache(k=new_k, v=new_v, length=cache.length + S)
     else:
         dummy = jnp.zeros((cfg.num_hidden_layers, 0), hidden.dtype)
+        if collect_hiddens:
+            def collect(x, sc):
+                y, _ = layer_fn(x, sc)
+                return y, y
+
+            hidden, per_layer = jax.lax.scan(collect, hidden, (layers, sliding, dummy, dummy))
+            hidden = _rms_norm(hidden, params["norm"]["scale"], eps)
+            return hidden, None, per_layer
         hidden, _ = jax.lax.scan(layer_fn, hidden, (layers, sliding, dummy, dummy))
         new_cache = None
 
