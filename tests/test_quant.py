@@ -33,10 +33,12 @@ def test_quantize_roundtrip_error_bound():
 
 
 def test_int4_pack_unpack_exact():
+    # offset-8 unsigned nibble layout (ops/quant.py: u = q + 8, lo = even row)
     rng = np.random.default_rng(1)
     q = rng.integers(-7, 8, size=(2, 16, 12)).astype(np.int8)
-    packed = (q[:, 0::2, :] & 0x0F) | (q[:, 1::2, :] << 4)
-    un = np.asarray(_unpack_q4(jnp.asarray(packed.astype(np.int8))))
+    u = (q + 8).astype(np.uint8)
+    packed = u[:, 0::2, :] | (u[:, 1::2, :] << 4)
+    un = np.asarray(_unpack_q4(jnp.asarray(packed.astype(np.uint8))))
     np.testing.assert_array_equal(un, q)
 
 

@@ -45,19 +45,26 @@ def quantize_weight(w: jnp.ndarray, bits: int = 8, contract_axis: int = -2) -> d
     q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 8:
         return {"q8": q, "s": scale}
-    # int4: pack two consecutive K rows into one int8 (low nibble = even row)
+    # int4: two consecutive K rows per byte, OFFSET-8 UNSIGNED nibbles
+    # (u = q + 8 ∈ [1, 15], low nibble = even row). The unsigned layout lets
+    # the Pallas dequant-matmul (ops/int4_matmul.py) recover both planes with
+    # 3 VPU ops (convert, mul, floor) and fold the -8 offset into a per-row
+    # correction — no sign-extension select on the hot path.
     K = q.shape[contract_axis]
     assert K % 2 == 0, K
-    lo = jax.lax.slice_in_dim(q, 0, K, 2, axis=q.ndim + contract_axis)
-    hi = jax.lax.slice_in_dim(q, 1, K, 2, axis=q.ndim + contract_axis)
-    packed = (lo & 0x0F) | (hi << 4)
-    return {"q4": packed.astype(jnp.int8), "s": scale}
+    u = (q + 8).astype(jnp.uint8)
+    lo = jax.lax.slice_in_dim(u, 0, K, 2, axis=u.ndim + contract_axis)
+    hi = jax.lax.slice_in_dim(u, 1, K, 2, axis=u.ndim + contract_axis)
+    packed = lo | (hi << 4)
+    return {"q4": packed.astype(jnp.uint8), "s": scale}
 
 
 def _unpack_q4(packed: jnp.ndarray, contract_axis: int = -2) -> jnp.ndarray:
-    """Inverse of the int4 packing: (..., K/2, N) int8 → (..., K, N) int8."""
-    lo = (packed << 4) >> 4  # sign-extend low nibble (arithmetic shift)
-    hi = packed >> 4
+    """Inverse of the int4 packing: (..., K/2, N) uint8 → (..., K, N) int8
+    (offset-8 unsigned nibbles → signed values)."""
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0x0F).astype(jnp.int8) - 8
+    hi = (u >> 4).astype(jnp.int8) - 8
     stacked = jnp.stack([lo, hi], axis=packed.ndim + contract_axis + 1)
     shape = list(packed.shape)
     shape[contract_axis] = shape[contract_axis] * 2
@@ -70,10 +77,22 @@ def dequantize_weight(w: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w for plain or quantized w. The int→x.dtype convert fuses into the
-    dot operand read (HBM streams the int8/int4 bytes)."""
+    """x @ w for plain or quantized w. int8: the int→x.dtype convert fuses
+    into the dot operand read (HBM streams the int8 bytes). int4: the Pallas
+    dequant-matmul keeps the nibble unpack ON-CHIP (XLA materializes the
+    unpacked tree in HBM — measured 76 ms/step in round 2)."""
     if not is_quantized(w):
         return x @ w
+    if "q4" in w and w["q4"].ndim == 2 and jax.default_backend() == "tpu":
+        from .int4_matmul import int4_matmul
+
+        lead = x.shape[:-1]
+        M = 1
+        for d in lead:
+            M *= d
+        if M <= 256:  # decode-shape fast path (half the HBM stream of int8)
+            y = int4_matmul(x.reshape(M, x.shape[-1]), w["q4"], w["s"])
+            return y.reshape(*lead, -1)
     q = w["q8"] if "q8" in w else _unpack_q4(w["q4"])
     y = x @ q.astype(x.dtype)
     return y * w["s"].astype(x.dtype)
@@ -101,10 +120,11 @@ def quantize_embedding(emb: jnp.ndarray, bits: int = 8) -> dict:
     amax = jnp.max(jnp.abs(ef), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(ef / scale), -7, 7).astype(jnp.int8)
-    lo = q[:, 0::2]
-    hi = q[:, 1::2]
-    packed = (lo & 0x0F) | (hi << 4)
-    return {"q4": packed.astype(jnp.int8), "s": scale, "_row4": jnp.ones((), jnp.int8)}
+    u = (q + 8).astype(jnp.uint8)  # offset-8 unsigned nibbles (see quantize_weight)
+    lo = u[:, 0::2]
+    hi = u[:, 1::2]
+    packed = lo | (hi << 4)
+    return {"q4": packed.astype(jnp.uint8), "s": scale, "_row4": jnp.ones((), jnp.int8)}
 
 
 def tied_head_logits(hidden: jnp.ndarray, emb) -> jnp.ndarray:
@@ -209,11 +229,14 @@ def quantize_text_params(text_params: dict, bits: int = 8) -> dict:
     layers["self_attn"] = attn
     layers["mlp"] = mlp
     out["layers"] = layers
+    # embedding + lm_head stay int8 even at bits=4: the row-lookup and the
+    # (V, hidden) head dot have no int4 kernel layout, and the XLA unpack
+    # path would dominate the step (docs/ROADMAP.md int4 notes)
     emb = text_params["embed_tokens"]["embedding"]
     if not is_quantized(emb):
-        out["embed_tokens"] = {"embedding": quantize_embedding(emb, bits=bits)}
+        out["embed_tokens"] = {"embedding": quantize_embedding(emb, bits=8)}
     if "lm_head" in text_params and not is_quantized(text_params["lm_head"]["kernel"]):
-        out["lm_head"] = {"kernel": quantize_weight(text_params["lm_head"]["kernel"], bits=bits)}
+        out["lm_head"] = {"kernel": quantize_weight(text_params["lm_head"]["kernel"], bits=8)}
     return out
 
 
