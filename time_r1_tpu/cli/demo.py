@@ -41,7 +41,8 @@ def get_args(argv=None):
     p.add_argument("--total_pixels", type=int, default=3584 * 28 * 28)
     p.add_argument("--min_pixels", type=int, default=16 * 28 * 28)
     p.add_argument("--device", type=str, default="auto", help="accepted for recipe parity")
-    p.add_argument("--pipeline_parallel_size", type=int, default=1, help="accepted for recipe parity")
+    p.add_argument("--pipeline_parallel_size", type=int, default=1,
+        help="stage-shard the decoder layers over a pipeline mesh (vLLM PP parity)")
     return p.parse_args(argv)
 
 
@@ -74,17 +75,19 @@ def build_request(processor: Qwen25VLProcessor, args) -> Request:
 
 
 def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
-    if getattr(args, "pipeline_parallel_size", 1) > 1:
-        raise NotImplementedError(
-            "--pipeline_parallel_size > 1 is not supported by the TPU serving "
-            "path; use --tensor_parallel_size (vLLM recipes default PP to 1)"
-        )
     os.makedirs(args.output_dir, exist_ok=True)
     output_file = os.path.join(args.output_dir, "tmp_output.jsonl")
 
     if engine is None:
         params, cfg = load_checkpoint(args.model_base)
-        engine = Engine(params, cfg)
+        pp = getattr(args, "pipeline_parallel_size", 1)
+        if pp > 1:
+            # vLLM PP parity (demo.py:41 → vllm_infer.py:42-51)
+            from ..parallel.pipeline import PPEngine
+
+            engine = PPEngine(params, cfg, n_stages=pp)
+        else:
+            engine = Engine(params, cfg)
         processor = Qwen25VLProcessor.from_pretrained(args.model_base)
     text_engine = TextEngine(engine, processor)
 

@@ -57,7 +57,8 @@ def get_args(argv=None):
         help="shard the model over a TP mesh (vLLM TP parity, vllm_infer.py:50)",
     )
     p.add_argument(
-        "--pipeline_parallel_size", type=int, default=1, help="accepted for recipe parity"
+        "--pipeline_parallel_size", type=int, default=1,
+        help="stage-shard the decoder layers over a pipeline mesh (vLLM PP parity)"
     )
     p.add_argument("--device", type=str, default="auto", help="accepted for recipe parity")
     p.add_argument(
@@ -109,14 +110,6 @@ def get_args(argv=None):
 
 
 def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
-    if getattr(args, "pipeline_parallel_size", 1) > 1:
-        # honest fence: the GPipe forward (parallel/pipeline.py) is not wired
-        # into the serving path yet — refuse rather than silently ignore the
-        # flag (the reference's vLLM PP default is 1 in every recipe)
-        raise NotImplementedError(
-            "--pipeline_parallel_size > 1 is not supported by the TPU serving "
-            "path; use --tensor_parallel_size (vLLM recipes default PP to 1)"
-        )
     os.makedirs(args.output_dir, exist_ok=True)
     output_file = os.path.join(
         args.output_dir, f"{args.datatype}_{args.curr_idx}_{args.total_idx}.jsonl"
@@ -130,10 +123,32 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
     except Exception:
         pass
 
+    pp_engine = None
     if engine is None:
         params, cfg = load_checkpoint(args.model_base)
+        pp = getattr(args, "pipeline_parallel_size", 1)
+        if pp > 1:
+            # vLLM PP parity (vllm_infer.py:42-51): stage-sharded layers +
+            # per-stage KV caches; generation relays hidden states stage to
+            # stage over ICI (parallel/pipeline.py:pp_generate)
+            import jax
+
+            from ..parallel.pipeline import PPEngine
+
+            if len(jax.devices()) < pp:
+                raise ValueError(
+                    f"pipeline_parallel_size={pp} but only {len(jax.devices())} devices"
+                )
+            if getattr(args, "tensor_parallel_size", 1) > 1:
+                raise ValueError("TP×PP composition is not supported; pick one")
+            pp_engine = PPEngine(params, cfg, n_stages=pp)
+            processor = Qwen25VLProcessor.from_pretrained(args.model_base)
+            # no bucket engine in PP mode: the point of PP is that the FULL
+            # tree does not fit one chip (prob-based MCQ scoring uses the
+            # bucket engine and is not available under PP)
+            engine = None
         tp = getattr(args, "tensor_parallel_size", 1)
-        if tp > 1:
+        if pp <= 1 and tp > 1:
             # vLLM-TP parity (vllm_infer.py:50): shard attention heads / MLP
             # hidden over a pure-TP mesh; 7B eval fits by splitting weights
             # across chips. GSPMD inserts the collectives.
@@ -147,14 +162,17 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
                 )
             mesh = make_mesh(model_parallel=tp, devices=jax.devices()[:tp])
             params = shard_params(params, mesh)
-        engine = Engine(
-            params,
-            cfg,
-            quantization=getattr(args, "quantization", "") or None,
-            kv_cache_quant=getattr(args, "kv_cache_dtype", "") == "int8",
-        )
-        processor = Qwen25VLProcessor.from_pretrained(args.model_base)
-    if getattr(args, "use_continuous_batching", False):
+        if pp <= 1:
+            engine = Engine(
+                params,
+                cfg,
+                quantization=getattr(args, "quantization", "") or None,
+                kv_cache_quant=getattr(args, "kv_cache_dtype", "") == "int8",
+            )
+            processor = Qwen25VLProcessor.from_pretrained(args.model_base)
+    if pp_engine is not None:
+        gen_engine = pp_engine
+    elif getattr(args, "use_continuous_batching", False):
         # max_model_len parity: total_pixels//28//28 + 4096 + max_new_tokens
         # (vllm_infer.py:52)
         max_len = args.max_model_len or (
@@ -195,6 +213,11 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
     # mcq + train split → probability-based scoring over option letters with
     # the assistant-prefix answer prompt (reference evaluate.py:88,104-122)
     prob_mode = args.datatype == "mcq" and args.split == "train"
+    if prob_mode and engine is None:
+        raise ValueError(
+            "prob-based MCQ scoring needs the bucket engine; it is unavailable "
+            "under --pipeline_parallel_size > 1"
+        )
     dataset = EvalDataset(
         processor,
         datatype=args.datatype,

@@ -9,9 +9,18 @@ GPipe schedule (tick t: stage s runs microbatch t−s). Every stage executes
 the same program every tick (bubble ticks compute on garbage and are masked),
 so the loop jits to one XLA program with ICI-neighbor transfers only.
 
-Scope: the full-sequence (no-KV-cache) forward — the training / logp-recompute
-hot path. Sampling PP would pipeline the KV cache too; the recipes never
-enable PP, so parity only requires the capability + flag plumbing.
+Two entry points:
+
+- `pp_decoder_layers` — full-sequence (no-KV-cache) forward on the GPipe
+  microbatch schedule (training / logp-recompute shapes);
+- `pp_generate` — GENERATION over the stage axis (vLLM --pipeline_parallel_size
+  serving capability): each stage owns its layer group's KV cache; prefill and
+  each decode step relay the hidden through the stages with ppermute, the last
+  hidden wraps to stage 0 where logits/sampling happen, and the sampled token
+  is rebroadcast with one psum. Every stage executes the same program every
+  phase (inactive stages compute masked garbage) so the whole generation jits
+  to ONE XLA program with ICI-neighbor transfers. Like vLLM, PP decode adds
+  latency per token; it buys HBM capacity (each chip holds L/P layers + cache).
 """
 
 from __future__ import annotations
@@ -151,3 +160,244 @@ def pp_decoder_layers(
     outputs = fn(staged, embeds, position_ids, attention_mask)
     # only the LAST stage's bank holds real results
     return outputs[-1].reshape(B, S, H)
+
+
+# ---------------------------------------------------------------------------
+# PP generation (vLLM --pipeline_parallel_size serving capability)
+# ---------------------------------------------------------------------------
+
+
+def _run_stage_layers_cached(
+    layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, ck, cv, bias_old, bias_new, write_pos
+):
+    """One stage's layer group over an S-token chunk WITH its per-layer KV
+    caches. ck/cv: (Lp, B, max_len, nkv, hd). Returns (hidden, ck, cv) with
+    the chunk's KV written at [write_pos, write_pos+S)."""
+    from ..ops.quant import attn_qkv_proj, mlp_proj
+
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    B, S, _ = hidden.shape
+
+    def layer(x, scanned):
+        lp, layer_k, layer_v = scanned
+        h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
+        k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
+        from ..ops.attention import mha_cached
+
+        attn = mha_cached(
+            q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), k, v, bias_old, bias_new
+        )
+        x = x + qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+        h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
+        x = x + mlp_proj(h, lp["mlp"])
+        return x, (k, v)
+
+    hidden, (ks, vs) = jax.lax.scan(layer, hidden, (layers_stage, ck, cv))
+    ck = jax.lax.dynamic_update_slice(ck, ks.astype(ck.dtype), (0, 0, write_pos, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, vs.astype(cv.dtype), (0, 0, write_pos, 0, 0))
+    return hidden, ck, cv
+
+
+def pp_generate(
+    staged: dict,  # layers stacked (n_stages, L/n_stages, …), stage-sharded
+    other: dict,  # text params minus layers (embed/norm/head), replicated
+    cfg,  # Qwen25VLConfig
+    embeds: jnp.ndarray,  # (B, S, H) — embeddings, vision already merged
+    pos_ids: jnp.ndarray,  # (3, B, S)
+    mask: jnp.ndarray,  # (B, max_len) — 1 for prompt tokens AND decode slots
+    start_pos: jnp.ndarray,  # (B,) rope position of the first generated token
+    sp,  # SamplingParams (static)
+    rng: jnp.ndarray,
+    mesh: Mesh,
+    max_len: int,
+):
+    """Generate sp.max_new_tokens over the `stage` axis. Returns (B, max_new)
+    token ids (pad after stop). One jitted SPMD program: prefill relays the
+    prompt chunk through the stages, each decode step relays the token hidden
+    (n_stages ppermute hops), the final hidden wraps to stage 0 for
+    logits/sampling, and the token rebroadcasts with one psum."""
+    from ..models.qwen25vl.language import lm_logits
+    from ..ops.quant import embed_lookup
+    from ..sampler.engine import sample_tokens
+
+    tcfg = cfg.text
+    n_stages = mesh.shape[STAGE_AXIS]
+    B, S, H = embeds.shape
+    nkv, hd = tcfg.num_key_value_heads, tcfg.head_dim
+    eps = tcfg.rms_norm_eps
+    max_new = sp.max_new_tokens
+    stop_ids_arr = np.array(sp.stop_token_ids, np.int32)
+
+    def stage_fn(staged_layers, other, embeds, pos_ids, mask, start_pos, rng):
+        layers_stage = jax.tree.map(lambda x: x[0], staged_layers)
+        sid = jax.lax.axis_index(STAGE_AXIS)
+        Lp = jax.tree.leaves(layers_stage)[0].shape[0]
+        dtype = embeds.dtype
+        ck = jnp.zeros((Lp, B, max_len, nkv, hd), dtype)
+        cv = jnp.zeros((Lp, B, max_len, nkv, hd), dtype)
+        kv_pos = jnp.arange(max_len)[None, :]
+        pad_bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)  # (B, max_len)
+        stop_ids = jnp.asarray(stop_ids_arr)
+
+        def relay(h0, ck, cv, cos_b, sin_b, bias_old, bias_new, write_pos):
+            """Relay an S'-token chunk through all stages; stage p runs at
+            phase p, inactive stages compute masked garbage. Returns stage 0's
+            final hidden (wrapped around) + updated caches."""
+
+            def phase(p, carry):
+                h, ck_c, cv_c = carry
+                h_out, ck2, cv2 = _run_stage_layers_cached(
+                    layers_stage, tcfg, h, cos_b, sin_b, ck_c, cv_c,
+                    bias_old, bias_new, write_pos,
+                )
+                active = sid == p
+                ck_c = jnp.where(active, ck2, ck_c)
+                cv_c = jnp.where(active, cv2, cv_c)
+                h = jax.lax.ppermute(
+                    jnp.where(active, h_out, h),
+                    STAGE_AXIS,
+                    [(i, (i + 1) % n_stages) for i in range(n_stages)],
+                )
+                return h, ck_c, cv_c
+
+            return jax.lax.fori_loop(0, n_stages, phase, (h0, ck, cv))
+
+        # ---- prefill: the whole prompt chunk, cache written at [0, S) ----
+        cos, sin = mrope_cos_sin(tcfg, pos_ids)
+        cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
+        bias_old = jnp.full((1, 1, 1, max_len), NEG_INF, jnp.float32)  # empty prefix
+        i_pos = jnp.arange(S)[:, None]
+        j_pos = jnp.arange(S)[None, :]
+        bias_new = jnp.where(j_pos <= i_pos, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        bias_new = bias_new + pad_bias[:, :S][:, None, None, :]
+        h, ck, cv = relay(embeds, ck, cv, cos_b, sin_b, bias_old, bias_new, 0)
+
+        hidden = _rms_norm(h[:, -1:], other["norm"]["scale"], eps)
+        logits = lm_logits(other, tcfg, hidden)[:, 0]
+        rng, sub = jax.random.split(rng)
+        first = sample_tokens(logits, sub, sp)
+        first = jax.lax.psum(jnp.where(sid == 0, first, 0), STAGE_AXIS)
+        tokens0 = jnp.full((B, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
+        done0 = jnp.isin(first, stop_ids)
+
+        # ---- decode: one relay per token ----
+        def cond(state):
+            step, *_ = state
+            return (step < max_new) & ~jnp.all(state[4])
+
+        def body(state):
+            step, ck, cv, tokens, done, last, rng = state
+            pos = start_pos + step  # decode_loop's convention (engine.py:179)
+            pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+            cos, sin = mrope_cos_sin(tcfg, pos3)
+            cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]
+            prefix_len = S + step - 1
+            b_old = jnp.where(kv_pos < prefix_len, 0.0, NEG_INF).astype(jnp.float32)
+            b_old = (b_old + pad_bias)[:, None, None, :]
+            b_new = jnp.zeros((B, 1, 1, 1), jnp.float32)
+            x = embed_lookup(
+                other["embed_tokens"]["embedding"], last[:, None],
+                dtype=other["norm"]["scale"].dtype,
+            )
+            h, ck, cv = relay(x, ck, cv, cos_b, sin_b, b_old, b_new, prefix_len)
+            hidden = _rms_norm(h, other["norm"]["scale"], eps)
+            logits = lm_logits(other, tcfg, hidden)[:, 0]
+            rng, sub = jax.random.split(rng)
+            nxt = sample_tokens(logits, sub, sp)
+            nxt = jax.lax.psum(jnp.where(sid == 0, nxt, 0), STAGE_AXIS)
+            nxt = jnp.where(done, cfg.pad_token_id, nxt)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
+            done = done | jnp.isin(nxt, stop_ids)
+            return step + 1, ck, cv, tokens, done, nxt, rng
+
+        state = (jnp.ones((), jnp.int32), ck, cv, tokens0, done0, first, rng)
+        state = jax.lax.while_loop(cond, body, state)
+        return state[3][None]  # (1, B, max_new), identical on every stage
+
+    spec_layers = jax.tree.map(lambda _: P(STAGE_AXIS), staged)
+    fn = jax.shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(spec_layers, P(), P(), P(), P(), P(), P()),
+        out_specs=P(STAGE_AXIS),
+        check_vma=False,
+    )
+    out = fn(staged, other, embeds, pos_ids, mask, start_pos, rng)
+    return out[0]
+
+
+class PPEngine:
+    """Generation over a pure-stage mesh (vLLM PP serving capability: each
+    chip holds L/n_stages DECODER layers + their KV cache — the decoder is
+    ~85% of the weights, so PP=4 cuts per-chip layer HBM 4×). The embedding,
+    final norm, lm head and the vision tower stay replicated (stage-sharding
+    the ViT is future work). Request semantics match sampler.Engine.generate;
+    G-way groups expand to G rows (no shared-prefix cache trick across
+    stages)."""
+
+    def __init__(self, params, cfg, n_stages: int, dtype=jnp.bfloat16, devices=None):
+        import functools
+
+        from jax.sharding import NamedSharding
+
+        from ..sampler.engine import Engine
+
+        assert cfg.text.num_hidden_layers % n_stages == 0, (
+            cfg.text.num_hidden_layers, n_stages,
+        )
+        self.mesh = make_pp_mesh(n_stages, devices)
+        self.cfg = cfg
+        self.dtype = dtype
+        # decoder layers: ONE stage-sharded resident copy
+        staged = _stack_stages(params["text"]["layers"], n_stages)
+        self.staged = jax.device_put(staged, NamedSharding(self.mesh, P(STAGE_AXIS)))
+        rep = NamedSharding(self.mesh, P())
+        self.rest = jax.device_put(
+            {
+                "visual": params["visual"],
+                "text": {k: v for k, v in params["text"].items() if k != "layers"},
+            },
+            rep,
+        )
+        self._packer = Engine(self.rest, cfg, dtype)  # _pack/vision never touch layers
+        self.params = self.rest
+
+        @functools.partial(jax.jit, static_argnames=("sp", "max_len"))
+        def _gen(staged, other, embeds, pos_ids, mask, start_pos, sp, rng, max_len):
+            return pp_generate(
+                staged, other, cfg, embeds, pos_ids, mask, start_pos, sp, rng,
+                self.mesh, max_len,
+            )
+
+        self._gen = _gen
+
+    def generate(self, requests, sp) -> list[list[int]]:
+        from ..models.qwen25vl.model import merge_vision_embeddings
+        from ..ops.quant import embed_lookup
+        from ..sampler.engine import compute_vision_features
+
+        G = sp.num_return_sequences
+        reqs = [r for r in requests for _ in range(G)]
+        ids, mask, pos_ids, start_pos, vis, S, max_len = self._packer._pack(
+            reqs, extra_len=sp.max_new_tokens
+        )
+        embeds = embed_lookup(
+            self.params["text"]["embed_tokens"]["embedding"], jnp.asarray(ids),
+            dtype=self.dtype,
+        )
+        if vis is not None:
+            feats = compute_vision_features(self.params, self.cfg, vis)
+            embeds = merge_vision_embeddings(
+                embeds, jnp.asarray(ids), feats,
+                (self.cfg.video_token_id, self.cfg.image_token_id),
+            )
+        rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
+        tokens = self._gen(
+            self.staged, self.params["text"], embeds, jnp.asarray(pos_ids),
+            jnp.asarray(mask), jnp.asarray(start_pos), sp, rng, max_len,
+        )
+        return self._packer._postprocess(np.asarray(tokens), len(reqs), sp)
