@@ -308,8 +308,13 @@ def vision_forward(
         lp, is_full = scanned
         h = _rms_norm(x, lp["norm1"]["scale"], eps)
         qkv = h @ lp["attn"]["qkv_w"] + lp["attn"]["qkv_b"]
-        q, k, v = jnp.split(qkv.reshape(-1, 3, nh, hd).swapaxes(0, 1), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]
+        # qkv columns are ordered [q | k | v] (each nh·hd wide): slice on the
+        # last axis — the reshape(-1, 3, nh, hd).swapaxes(0, 1) equivalent
+        # materialized a full-tensor transpose per layer
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(-1, nh, hd)
+        k = k.reshape(-1, nh, hd)
+        v = v.reshape(-1, nh, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos + _rotate_half(qf) * sin).astype(x.dtype)
         k = (kf * cos + _rotate_half(kf) * sin).astype(x.dtype)
