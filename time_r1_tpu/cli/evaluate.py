@@ -57,6 +57,14 @@ def get_args(argv=None):
         help="shard the model over a TP mesh (vLLM TP parity, vllm_infer.py:50)",
     )
     p.add_argument(
+        "--tp_group_index",
+        type=int,
+        default=0,
+        help="which TP-sized device group this process uses (devices "
+        "[idx·tp, (idx+1)·tp)); combine with --curr_idx/--total_idx to run "
+        "n_devices/tp data-parallel eval processes on one host — no chip idles",
+    )
+    p.add_argument(
         "--pipeline_parallel_size", type=int, default=1,
         help="stage-shard the decoder layers over a pipeline mesh (vLLM PP parity)"
     )
@@ -156,11 +164,13 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
 
             from ..parallel import make_mesh, shard_params
 
-            if len(jax.devices()) < tp:
+            gi = getattr(args, "tp_group_index", 0)
+            if len(jax.devices()) < tp * (gi + 1):
                 raise ValueError(
-                    f"tensor_parallel_size={tp} but only {len(jax.devices())} devices"
+                    f"tensor_parallel_size={tp} group {gi} needs devices "
+                    f"[{tp * gi}, {tp * (gi + 1)}) but only {len(jax.devices())} exist"
                 )
-            mesh = make_mesh(model_parallel=tp, devices=jax.devices()[:tp])
+            mesh = make_mesh(model_parallel=tp, devices=jax.devices()[tp * gi : tp * (gi + 1)])
             params = shard_params(params, mesh)
         if pp <= 1:
             engine = Engine(
