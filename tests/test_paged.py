@@ -83,3 +83,67 @@ def test_paged_int8_kv_matches_bucket_int8_kv_greedy(jx_params):  # noqa: F811
     ).generate(reqs, sp)
     agree = sum(a == b for a, b in zip(got, bf16))
     assert agree >= len(reqs) - 1, (got, bf16)
+
+
+def test_chunked_prefill_interleaves_decode(jx_params, monkeypatch):  # noqa: F811
+    """vLLM chunked-prefill interleave: while a LONG admission streams in,
+    resident slots keep decoding between its prefill chunks — and the final
+    outputs are identical to the non-interleaved engine and the bucket
+    engine (pure scheduling change, same math)."""
+    import time_r1_tpu.sampler.paged as paged_mod
+
+    rng = np.random.default_rng(3)
+    short = [Request(input_ids=list(rng.integers(2, 200, 12))) for _ in range(2)]
+    long_req = Request(input_ids=list(rng.integers(2, 200, 600)))  # >1 chunk at 256
+    reqs = short + [long_req]
+
+    # stagger slot retirement so a slot is RESIDENT when the long prompt is
+    # admitted: pick a stop token that appears early in short2's greedy
+    # continuation but not early in the others' (uniform budgets would retire
+    # lockstep-admitted slots simultaneously and never exercise the interleave)
+    bucket = Engine(jx_params, CFG, dtype=jnp.float32)
+    probe_sp = SamplingParams(temperature=0.0, max_new_tokens=24, stop_token_ids=(10_000,))
+    raw = bucket.generate(reqs, probe_sp)
+    stop_tok = next(
+        t for t in raw[1][3:10]
+        if t not in raw[0][:20] and t not in raw[2][:20]
+    )
+    sp = SamplingParams(
+        temperature=0.0, max_new_tokens=24, stop_token_ids=(stop_tok,), seed=0
+    )
+    want = bucket.generate(reqs, sp)
+    assert len(want[1]) < 12 <= len(want[0])  # short2 retires early
+
+    def make(interleave):
+        return PagedEngine(
+            jx_params, CFG, max_slots=2, max_len=1024, page_size=16, dtype=jnp.float32,
+            prefill_chunk_tokens=256, segment=4, interleave_decode=interleave,
+        )
+
+    got_plain = make(False).generate(reqs, sp)
+    assert got_plain == want
+
+    # count decode segments fired DURING admissions (the interleave signal)
+    orig_admit = PagedEngine._admit_many
+    orig_seg = paged_mod.paged_decode_segment
+    state = {"in_admit": False, "interleaved": 0}
+
+    def counting_admit(self, *a, **k):
+        state["in_admit"] = True
+        try:
+            return orig_admit(self, *a, **k)
+        finally:
+            state["in_admit"] = False
+
+    def counting_segment(*a, **k):
+        if state["in_admit"]:
+            state["interleaved"] += 1
+        return orig_seg(*a, **k)
+
+    monkeypatch.setattr(PagedEngine, "_admit_many", counting_admit)
+    monkeypatch.setattr(paged_mod, "paged_decode_segment", counting_segment)
+    got_inter = make(True).generate(reqs, sp)
+    assert got_inter == want
+    # slots were resident while the 600-token prompt prefilled in 256-token
+    # chunks → at least one decode segment ran inside an admission
+    assert state["interleaved"] >= 1, state

@@ -298,6 +298,7 @@ class PagedEngine:
         segment: int = 16,
         quantization: str | None = None,  # None | "int8" (weight-only, ops/quant.py)
         kv_cache_quant: bool = False,  # int8 pages + per-token scales
+        interleave_decode: bool = True,  # decode segments BETWEEN prefill chunks
     ):
         from .engine import Engine
 
@@ -315,18 +316,32 @@ class PagedEngine:
         self.dtype = dtype
         self.segment = segment
         self.kv_cache_quant = kv_cache_quant
+        self.interleave_decode = interleave_decode
+        self.prefill_chunk_tokens = prefill_chunk_tokens
         # prefill (and its cache) stay bf16; pages quantize at write_prompt
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
-    def _admit_many(self, pool, allocator, admits, sp):
+    def _admit_many(self, pool_box, allocator, admits, sp, on_chunk=None):
         """ONE batched prefill for all pending admissions; each row's KV is
         paged into its freshly-allocated pages. admits: [(slot, req_idx,
-        Request)] → (pool, [(first, start_pos, pages)])."""
+        Request)] → [(first, start_pos, pages)]; the pool is threaded through
+        the MUTABLE pool_box["pool"] because on_chunk may decode (donating
+        and replacing the pool buffer) mid-admission.
+
+        on_chunk (vLLM chunked-prefill INTERLEAVE, vllm_infer.py:53): called
+        between prefill chunks so resident slots keep decoding while a long
+        admission streams in — a 10k-token VideoMME prompt no longer stalls
+        every live slot for its whole prefill."""
         eng = self._prefill_engine
         eng.params = self.params
         reqs = [r for _, _, r in admits]
         ids, mask, pos_ids, start_pos, vis, S, _ = eng._pack(reqs, extra_len=0)
-        first_logits, cache = eng._prefill(ids, mask, pos_ids, vis, S, S)
+        if on_chunk is not None and S > self.prefill_chunk_tokens:
+            first_logits, cache = self._prefill_interleaved(
+                eng, ids, mask, pos_ids, vis, S, on_chunk
+            )
+        else:
+            first_logits, cache = eng._prefill(ids, mask, pos_ids, vis, S, S)
         seed0 = sp.seed if sp.seed is not None else 0
         out = []
         for row, (slot, req_idx, req) in enumerate(admits):
@@ -348,8 +363,8 @@ class PagedEngine:
                 v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
             table_row = np.zeros((self.max_pages,), np.int32)
             table_row[:n_total] = pages
-            pool = write_prompt(
-                pool,
+            pool_box["pool"] = write_prompt(
+                pool_box["pool"],
                 jnp.asarray(slot, jnp.int32),
                 jnp.asarray(pages[:n_prompt_pages], jnp.int32),
                 jnp.asarray(table_row),
@@ -358,7 +373,41 @@ class PagedEngine:
                 jnp.asarray(L_prompt, jnp.int32),
             )
             out.append((first, int(start_pos[row]), pages))
-        return pool, out
+        return out
+
+    def _prefill_interleaved(self, eng, ids, mask, pos_ids, vis, S, on_chunk):
+        """Engine._prefill's chunk loop with `on_chunk()` BETWEEN chunks —
+        resident slots decode while a long admission streams in."""
+        from ..models.qwen25vl import KVCache
+        from .engine import compute_vision_features, prefill_chunk
+
+        B = ids.shape[0]
+        cache = KVCache.zeros(self.cfg.text, B, S, dtype=self.dtype)
+        feats = None
+        if vis is not None:
+            feats = compute_vision_features(self.params, self.cfg, vis)
+        chunk = self.prefill_chunk_tokens
+        is_vis_np = np.isin(ids, [self.cfg.video_token_id, self.cfg.image_token_id])
+        row_total = is_vis_np.sum(axis=1)
+        row_start = np.cumsum(row_total) - row_total
+        logits = None
+        for c0 in range(0, S, chunk):
+            if c0 > 0:
+                on_chunk()
+            c1 = min(S, c0 + chunk)
+            feat_off = row_start + is_vis_np[:, :c0].sum(axis=1)
+            logits, cache = prefill_chunk(
+                self.params,
+                self.cfg,
+                cache,
+                jnp.asarray(ids[:, c0:c1]),
+                jnp.asarray(pos_ids[:, :, c0:c1]),
+                jnp.asarray(mask),
+                feats,
+                jnp.asarray(feat_off, jnp.int32) if feats is not None else None,
+                c0,
+            )
+        return logits[:, -1], cache
 
     def generate(self, requests, sp: SamplingParams):
         from collections import deque
@@ -369,10 +418,12 @@ class PagedEngine:
         results: dict[int, list[int]] = {}
         stop_set = set(sp.stop_token_ids)
 
-        pool = make_pool(
-            self.cfg, self.n_pages, self.P, self.max_slots, self.max_pages,
-            self.dtype, kv_quant=self.kv_cache_quant,
-        )
+        pool_box = {
+            "pool": make_pool(
+                self.cfg, self.n_pages, self.P, self.max_slots, self.max_pages,
+                self.dtype, kv_quant=self.kv_cache_quant,
+            )
+        }
         allocator = PageAllocator(self.n_pages)
         slot_req = [None] * self.max_slots
         slot_tokens: list[list[int]] = [[] for _ in range(self.max_slots)]
@@ -395,45 +446,25 @@ class PagedEngine:
             slot_pages[slot] = []
             slot_req[slot] = None
 
-        while len(results) < n_total:
-            admits = []
-            for slot in range(self.max_slots):
-                if slot_req[slot] is None and queue:
-                    idx, req = queue.popleft()
-                    if len(req.input_ids) + sp.max_new_tokens > self.max_len:
-                        raise ValueError("request exceeds max_len")
-                    admits.append((slot, idx, req))
-            if admits:
-                pool, infos = self._admit_many(pool, allocator, admits, sp)
-                for (slot, idx, req), (first, sp0, pages) in zip(admits, infos):
-                    slot_req[slot] = idx
-                    slot_pages[slot] = pages
-                    slot_tokens[slot] = [first]
-                    start_pos[slot] = sp0
-                    steps[slot] = 0
-                    last[slot] = first
-                    if first in stop_set:
-                        retire(slot, idx)
-
+        def segment_and_retire() -> bool:
+            """One K-step decode segment over the live slots + retirement.
+            Returns False when no slot was live (nothing decoded)."""
+            nonlocal last, steps, rng
             active_np = np.array(
                 [slot_req[s] is not None and len(slot_tokens[s]) < sp.max_new_tokens
                  and slot_tokens[s][-1] not in stop_set for s in range(self.max_slots)]
             )
             if not active_np.any():
-                # every occupied slot already finished (stop/budget) — retire
-                for slot in range(self.max_slots):
-                    if slot_req[slot] is not None:
-                        retire(slot, slot_req[slot])
-                continue
+                return False
             max_steps = np.array(
                 [sp.max_new_tokens - len(slot_tokens[s]) + steps[s] if slot_req[s] is not None else 0
                  for s in range(self.max_slots)],
                 np.int64,
             )
             rng, sub = jax.random.split(rng)
-            pool, toks, last_j, steps_j, done_j = paged_decode_segment(
+            pool_box["pool"], toks, last_j, steps_j, done_j = paged_decode_segment(
                 self.params,
-                pool,
+                pool_box["pool"],
                 self.cfg,
                 self.segment,
                 sp,
@@ -460,4 +491,35 @@ class PagedEngine:
                 finished = done_np[slot] or len(slot_tokens[slot]) >= sp.max_new_tokens
                 if finished:
                     retire(slot, slot_req[slot])
+            return True
+
+        while len(results) < n_total:
+            admits = []
+            for slot in range(self.max_slots):
+                if slot_req[slot] is None and queue:
+                    idx, req = queue.popleft()
+                    if len(req.input_ids) + sp.max_new_tokens > self.max_len:
+                        raise ValueError("request exceeds max_len")
+                    admits.append((slot, idx, req))
+            if admits:
+                # resident slots keep decoding between a long admission's
+                # prefill chunks (the chunked-prefill interleave — admitted
+                # slots aren't registered yet, so the segment can't see them)
+                on_chunk = segment_and_retire if self.interleave_decode else None
+                infos = self._admit_many(pool_box, allocator, admits, sp, on_chunk)
+                for (slot, idx, req), (first, sp0, pages) in zip(admits, infos):
+                    slot_req[slot] = idx
+                    slot_pages[slot] = pages
+                    slot_tokens[slot] = [first]
+                    start_pos[slot] = sp0
+                    steps[slot] = 0
+                    last[slot] = first
+                    if first in stop_set:
+                        retire(slot, idx)
+
+            if not segment_and_retire():
+                # every occupied slot already finished (stop/budget) — retire
+                for slot in range(self.max_slots):
+                    if slot_req[slot] is not None:
+                        retire(slot, slot_req[slot])
         return [results[i] for i in range(n_total)]
