@@ -253,7 +253,10 @@ def vision_forward(
     # pack windows so the attention block covers ≥128 rows: the per-window
     # (64, hd, 64) matmuls occupy a quarter of an MXU tile each, so a
     # block-diagonal 2-window pack halves the matmul pass count for the same
-    # math (cross-window logits are masked to -inf → exact zeros)
+    # math (cross-window logits are masked to -inf → exact zeros).
+    # Tried and rejected (round 3): a 4-window pack — the 4× bigger f32
+    # softmax buffers cost more than the halved dot-pipeline fills
+    # (194 → 208 ms/video measured on v5e).
     win_pack = max(1, 128 // win_patches)
     while n_win % win_pack != 0:
         win_pack //= 2
