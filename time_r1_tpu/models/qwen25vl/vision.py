@@ -223,9 +223,15 @@ def vision_forward(
     prep_full_gather: jnp.ndarray,
     prep_full_inverse: jnp.ndarray,
     prep_reverse: jnp.ndarray,
+    freeze_blocks: bool = False,
 ) -> jnp.ndarray:
     """Run the vision tower; returns merged features (U_pad, out_hidden_size)
-    in ORIGINAL merge-unit order."""
+    in ORIGINAL merge-unit order.
+
+    freeze_blocks (the trainer's fix_vit semantics, timer1_trainer.py:272-288):
+    stop_gradient after the block scan, so the backward pass SKIPS the 32
+    ViT blocks entirely instead of computing gradients the optimizer would
+    zero anyway — the merger stays trainable either way."""
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     scale = hd**-0.5
@@ -331,6 +337,8 @@ def vision_forward(
         return x, None
 
     x, _ = jax.lax.scan(layer, x, (blocks, fullatt))
+    if freeze_blocks:
+        x = jax.lax.stop_gradient(x)
 
     # merger: RMSNorm → group 2x2 units → MLP (GELU exact), in layout order
     mparams = params["merger"]

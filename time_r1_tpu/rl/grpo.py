@@ -69,15 +69,20 @@ def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.nd
 
 
 def _hidden_states(
-    params, cfg: Qwen25VLConfig, batch: GRPOBatch, remat: bool = False
+    params, cfg: Qwen25VLConfig, batch: GRPOBatch, remat: bool = False,
+    fix_vit: bool = False,
 ) -> jnp.ndarray:
     """Embed + merge vision + run decoder → final hidden (B, T, H)."""
     embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], batch.input_ids, axis=0)
     if batch.vision is not None:
         v = batch.vision
+        # fix_vit: stop gradients at the ViT blocks so the backward pass
+        # skips them entirely (the optimizer zeroes those grads anyway;
+        # the merger stays differentiable — timer1_trainer.py:272-288)
         feats = vision_forward(
             params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
             v.key_valid, v.full_gather, v.full_inverse, v.reverse,
+            freeze_blocks=fix_vit,
         )
         embeds = merge_vision_embeddings(
             embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id),
@@ -141,7 +146,9 @@ def grpo_loss(
     params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOBatch
 ) -> tuple[jnp.ndarray, dict]:
     """Loss + metrics for one batch. Differentiable in `params`."""
-    hidden = _hidden_states(params, cfg, batch, remat=hp.gradient_checkpointing)
+    hidden = _hidden_states(
+        params, cfg, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
+    )
     logps, entropy = per_token_logps_entropy(
         params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
     )
