@@ -224,6 +224,7 @@ def vision_forward(
     prep_full_inverse: jnp.ndarray,
     prep_reverse: jnp.ndarray,
     freeze_blocks: bool = False,
+    use_window_kernel: bool = False,
 ) -> jnp.ndarray:
     """Run the vision tower; returns merged features (U_pad, out_hidden_size)
     in ORIGINAL merge-unit order.
@@ -231,7 +232,11 @@ def vision_forward(
     freeze_blocks (the trainer's fix_vit semantics, timer1_trainer.py:272-288):
     stop_gradient after the block scan, so the backward pass SKIPS the 32
     ViT blocks entirely instead of computing gradients the optimizer would
-    zero anyway — the merger stays trainable either way."""
+    zero anyway — the merger stays trainable either way.
+
+    use_window_kernel: route the window-attention layers through the fused
+    Pallas rope+SDPA kernel (ops/vision_attention.py) — serving path only
+    (no custom VJP; the GRPO loss keeps the jnp path)."""
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     scale = hd**-0.5
@@ -280,17 +285,32 @@ def vision_forward(
     fullatt = jnp.zeros((cfg.depth,), jnp.bool_).at[jnp.array(cfg.fullatt_block_indexes)].set(True)
 
     def attn_both(q, k, v, is_full):
-        """q/k/v: (P, nh, hd) in layout order → (P, nh, hd)."""
+        """q/k/v: (P, nh, hd) in layout order, PRE-rope → (P, nh, hd).
+        Rope happens inside the branches (the fused kernel applies it
+        in-register; the jnp paths apply it explicitly)."""
+
+        def rope(x):
+            xf = x.astype(jnp.float32)
+            return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
 
         def window(_):
-            qw = q.reshape(n_win // win_pack, packed, nh, hd)
-            kw = k.reshape(n_win // win_pack, packed, nh, hd)
+            if use_window_kernel:
+                from ...ops.vision_attention import window_attention_rope
+
+                return window_attention_rope(
+                    q, k, v, cos[:, 0, :], sin[:, 0, :], key_bias_flat,
+                    win_patches, win_pack,
+                )
+            qr, kr = rope(q), rope(k)
+            qw = qr.reshape(n_win // win_pack, packed, nh, hd)
+            kw = kr.reshape(n_win // win_pack, packed, nh, hd)
             vw = v.reshape(n_win // win_pack, packed, nh, hd)
             return _block_attention(qw, kw, vw, win_key_bias, scale).reshape(P, nh, hd)
 
         def full(_):
-            qf = jnp.take(q, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
-            kf = jnp.take(k, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
+            qr, kr = rope(q), rope(k)
+            qf = jnp.take(qr, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
+            kf = jnp.take(kr, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
             vf = jnp.take(v, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
             # process slice blocks in groups: full batching would materialize
             # (n_slices, heads, S, S) softmax buffers; one-by-one serializes.
@@ -324,10 +344,7 @@ def vision_forward(
         q = q.reshape(-1, nh, hd)
         k = k.reshape(-1, nh, hd)
         v = v.reshape(-1, nh, hd)
-        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-        q = (qf * cos + _rotate_half(qf) * sin).astype(x.dtype)
-        k = (kf * cos + _rotate_half(kf) * sin).astype(x.dtype)
-        attn = attn_both(q, k, v, is_full)
+        attn = attn_both(q, k, v, is_full)  # rope applied inside the branches
         attn = attn.reshape(-1, nh * hd) @ lp["attn"]["proj_w"] + lp["attn"]["proj_b"]
         x = x + attn
         h = _rms_norm(x, lp["norm2"]["scale"], eps)

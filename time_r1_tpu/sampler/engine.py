@@ -100,9 +100,12 @@ def sample_tokens(
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def compute_vision_features(params, cfg: Qwen25VLConfig, vis: VisionInputs) -> jnp.ndarray:
+    # serving path: window attention rides the fused Pallas rope+SDPA kernel
+    # on TPU (ops/vision_attention.py); elsewhere the jnp path
     return vision_forward(
         params["visual"], cfg.vision, vis.patches, vis.perm, vis.pos_hw,
         vis.key_valid, vis.full_gather, vis.full_inverse, vis.reverse,
+        use_window_kernel=jax.default_backend() == "tpu",
     )
 
 
