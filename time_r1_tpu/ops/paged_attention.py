@@ -174,8 +174,11 @@ def _kernel_q8(
     q_ref,  # (1, 1, G, hd)
     k_ref,  # (1, 1, P, hd) int8
     v_ref,  # (1, 1, P, hd) int8
-    ks_ref,  # (1, 1, P) f32 per-token K scales
-    vs_ref,  # (1, 1, P) f32 per-token V scales
+    ks_ref,  # (1, 1, 1, P) f32 per-token K scales (unit sublane dim: a
+    # (1, 1, P) block over (nkv, n_pages, P) puts the unit dim in the
+    # sublane position over a large array dim — Mosaic rejects it; the
+    # trailing (1, P) tile is native)
+    vs_ref,  # (1, 1, 1, P) f32 per-token V scales
     o_ref,  # (1, 1, G, hd) fp32 — UNNORMALIZED acc
     m_ref,  # (1, 1, G, 128) fp32
     l_ref,  # (1, 1, G, 128) fp32
@@ -213,7 +216,7 @@ def _kernel_q8(
         sc = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G, P)
-        sc = sc * ks_ref[0, 0][None, :]  # fold K scales on the key axis
+        sc = sc * ks_ref[0, 0]  # (1, P) row: fold K scales on the key axis
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
         sc = jnp.where(pos < length, sc, NEG_INF)
         m_new = jnp.maximum(macc[...], jnp.max(sc, axis=1, keepdims=True))
@@ -221,7 +224,7 @@ def _kernel_q8(
         p = jnp.exp(sc - m_new)  # (G, P)
         lacc[...] = lacc[...] * corr + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, 0].astype(jnp.float32)  # (P, hd)
-        pv = p * vs_ref[0, 0][None, :]  # fold V scales on the prob axis
+        pv = p * vs_ref[0, 0]  # (1, P) row: fold V scales on the prob axis
         acc[...] = acc[...] * corr + jax.lax.dot_general(
             pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -268,7 +271,7 @@ def paged_prefix_attention_q8(
 
     def scale_index(s, h, j, pt_ref, len_ref):
         last = jnp.maximum((len_ref[s] - 1) // P, 0)
-        return (h, pt_ref[s, jnp.minimum(j, last)], 0)
+        return (h, pt_ref[s, jnp.minimum(j, last)], 0, 0)
 
     def o_index(s, h, j, pt_ref, len_ref):
         return (s, h, 0, 0)
@@ -289,8 +292,8 @@ def paged_prefix_attention_q8(
             pl.BlockSpec((1, 1, G, hd), q_index),
             pl.BlockSpec((1, 1, P, hd), kv_index),
             pl.BlockSpec((1, 1, P, hd), kv_index),
-            pl.BlockSpec((1, 1, P), scale_index),
-            pl.BlockSpec((1, 1, P), scale_index),
+            pl.BlockSpec((1, 1, 1, P), scale_index),
+            pl.BlockSpec((1, 1, 1, P), scale_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, G, hd), o_index),
@@ -303,9 +306,11 @@ def paged_prefix_attention_q8(
             pltpu.VMEM((G, hd), jnp.float32),
         ],
     )
+    ks4 = k_scale.reshape(nkv, -1, 1, P)  # unit sublane dim — see _kernel_q8
+    vs4 = v_scale.reshape(nkv, -1, 1, P)
     acc, m, l = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
-    )(pt, ln, q, k_pages, v_pages, k_scale, v_scale)
+    )(pt, ln, q, k_pages, v_pages, ks4, vs4)
     return acc, m[..., 0], l[..., 0]
 
 
