@@ -123,7 +123,7 @@ def prepare_vision_inputs(
     off = 0
     for si, sz in enumerate(slice_sizes):
         full_gather[si, :sz] = np.arange(off, off + sz)
-        full_gather[si, sz:] = off  # duplicate-pad; masked via key_valid gather
+        full_gather[si, sz:] = -1  # pad sentinel; masked as keys in the bias
         full_inverse[off : off + sz] = si * max_slice + np.arange(sz)
         off += sz
     assert off == P_pad
@@ -225,6 +225,7 @@ def vision_forward(
     prep_reverse: jnp.ndarray,
     freeze_blocks: bool = False,
     use_window_kernel: bool = False,
+    segment_scan: bool = False,
 ) -> jnp.ndarray:
     """Run the vision tower; returns merged features (U_pad, out_hidden_size)
     in ORIGINAL merge-unit order.
@@ -234,9 +235,18 @@ def vision_forward(
     ViT blocks entirely instead of computing gradients the optimizer would
     zero anyway — the merger stays trainable either way.
 
-    use_window_kernel: route the window-attention layers through the fused
-    Pallas rope+SDPA kernel (ops/vision_attention.py) — serving path only
-    (no custom VJP; the GRPO loss keeps the jnp path)."""
+    use_window_kernel: route the attention layers through the fused Pallas
+    rope+SDPA kernels (ops/vision_attention.py — window kernel for the 28
+    window layers, full-slice kernel for the fullatt layers when max_slice
+    fits VMEM) — serving path only (no custom VJP; the GRPO loss keeps the
+    jnp path).
+
+    segment_scan: scan (g-1)-layer window segments with the full-attention
+    layer unrolled between (the fullatt pattern is periodic in all Qwen2.5-VL
+    configs) instead of a per-layer lax.cond. Measured SLOWER on v5e (123.7
+    vs 116.7 ms/video at the bench shape — the uniform cond-scan body
+    pipelines better than the two-body segment nest), so the cond is the
+    default; kept for A/B (scripts/profile_vision.py)."""
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     scale = hd**-0.5
@@ -279,81 +289,144 @@ def vision_forward(
         cross = jnp.where(row_win == col_win, 0.0, NEG_INF).astype(jnp.float32)
         win_key_bias = win_key_bias + cross[None, None]
     n_slices, max_slice = prep_full_gather.shape
-    full_key_bias = jnp.take(key_bias_flat, prep_full_gather, axis=0).reshape(
-        n_slices, 1, 1, max_slice
-    )
-    fullatt = jnp.zeros((cfg.depth,), jnp.bool_).at[jnp.array(cfg.fullatt_block_indexes)].set(True)
+    # pad entries are -1 sentinels: clamp for the gather, mask as KEYS in the
+    # bias (a duplicate-pad pointing at a real row would otherwise receive
+    # attention mass whenever slices have unequal sizes — mixed-resolution
+    # batches)
+    full_pad = prep_full_gather < 0
+    full_gather_safe = jnp.where(full_pad, 0, prep_full_gather)
+    full_key_bias2d = jnp.take(key_bias_flat, full_gather_safe, axis=0) + jnp.where(
+        full_pad, NEG_INF, 0.0
+    )  # (n_slices, max_slice)
+    full_key_bias = full_key_bias2d.reshape(n_slices, 1, 1, max_slice)
+    def rope(x):
+        xf = x.astype(jnp.float32)
+        return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
 
-    def attn_both(q, k, v, is_full):
+    def attn_window(q, k, v):
         """q/k/v: (P, nh, hd) in layout order, PRE-rope → (P, nh, hd).
-        Rope happens inside the branches (the fused kernel applies it
-        in-register; the jnp paths apply it explicitly)."""
+        Rope happens inside (the fused kernel applies it in-register; the
+        jnp path applies it explicitly)."""
+        if use_window_kernel:
+            from ...ops.vision_attention import window_attention_rope
 
-        def rope(x):
-            xf = x.astype(jnp.float32)
-            return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
-
-        def window(_):
-            if use_window_kernel:
-                from ...ops.vision_attention import window_attention_rope
-
-                return window_attention_rope(
-                    q, k, v, cos[:, 0, :], sin[:, 0, :], key_bias_flat,
-                    win_patches, win_pack,
-                )
-            qr, kr = rope(q), rope(k)
-            qw = qr.reshape(n_win // win_pack, packed, nh, hd)
-            kw = kr.reshape(n_win // win_pack, packed, nh, hd)
-            vw = v.reshape(n_win // win_pack, packed, nh, hd)
-            return _block_attention(qw, kw, vw, win_key_bias, scale).reshape(P, nh, hd)
-
-        def full(_):
-            qr, kr = rope(q), rope(k)
-            qf = jnp.take(qr, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
-            kf = jnp.take(kr, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
-            vf = jnp.take(v, prep_full_gather.reshape(-1), axis=0).reshape(n_slices, max_slice, nh, hd)
-            # process slice blocks in groups: full batching would materialize
-            # (n_slices, heads, S, S) softmax buffers; one-by-one serializes.
-            group = 1
-            for c in (8, 4, 2):
-                if n_slices % c == 0:
-                    group = c
-                    break
-            qg = qf.reshape(n_slices // group, group, max_slice, nh, hd)
-            kg = kf.reshape(n_slices // group, group, max_slice, nh, hd)
-            vg = vf.reshape(n_slices // group, group, max_slice, nh, hd)
-            bg = full_key_bias.reshape(n_slices // group, group, 1, 1, max_slice)
-            out = jax.lax.map(
-                lambda args: _block_attention(args[0], args[1], args[2], args[3], scale),
-                (qg, kg, vg, bg),
+            return window_attention_rope(
+                q, k, v, cos[:, 0, :], sin[:, 0, :], key_bias_flat,
+                win_patches, win_pack,
             )
-            return jnp.take(out.reshape(-1, nh, hd), prep_full_inverse, axis=0)
+        qr, kr = rope(q), rope(k)
+        qw = qr.reshape(n_win // win_pack, packed, nh, hd)
+        kw = kr.reshape(n_win // win_pack, packed, nh, hd)
+        vw = v.reshape(n_win // win_pack, packed, nh, hd)
+        return _block_attention(qw, kw, vw, win_key_bias, scale).reshape(P, nh, hd)
 
-        return jax.lax.cond(is_full, full, window, None)
+    def attn_full(q, k, v):
+        fg = full_gather_safe.reshape(-1)
+        if use_window_kernel:
+            from ...ops.vision_attention import (
+                FULL_KERNEL_MAX_SLICE,
+                full_attention_rope,
+            )
+
+            if max_slice <= FULL_KERNEL_MAX_SLICE:
+                qf = jnp.take(q, fg, axis=0).reshape(n_slices, max_slice, nh, hd)
+                kf = jnp.take(k, fg, axis=0).reshape(n_slices, max_slice, nh, hd)
+                vf = jnp.take(v, fg, axis=0).reshape(n_slices, max_slice, nh, hd)
+                cosg = jnp.take(cos[:, 0, :], fg, axis=0).reshape(n_slices, max_slice, hd)
+                sing = jnp.take(sin[:, 0, :], fg, axis=0).reshape(n_slices, max_slice, hd)
+                out = full_attention_rope(qf, kf, vf, cosg, sing, full_key_bias2d)
+                return jnp.take(out.reshape(-1, nh, hd), prep_full_inverse, axis=0)
+        qr, kr = rope(q), rope(k)
+        qf = jnp.take(qr, fg, axis=0).reshape(n_slices, max_slice, nh, hd)
+        kf = jnp.take(kr, fg, axis=0).reshape(n_slices, max_slice, nh, hd)
+        vf = jnp.take(v, fg, axis=0).reshape(n_slices, max_slice, nh, hd)
+        # process slice blocks in groups: full batching would materialize
+        # (n_slices, heads, S, S) softmax buffers; one-by-one serializes.
+        group = 1
+        for c in (8, 4, 2):
+            if n_slices % c == 0:
+                group = c
+                break
+        qg = qf.reshape(n_slices // group, group, max_slice, nh, hd)
+        kg = kf.reshape(n_slices // group, group, max_slice, nh, hd)
+        vg = vf.reshape(n_slices // group, group, max_slice, nh, hd)
+        bg = full_key_bias.reshape(n_slices // group, group, 1, 1, max_slice)
+        out = jax.lax.map(
+            lambda args: _block_attention(args[0], args[1], args[2], args[3], scale),
+            (qg, kg, vg, bg),
+        )
+        return jnp.take(out.reshape(-1, nh, hd), prep_full_inverse, axis=0)
 
     blocks = params["blocks"]
 
-    def layer(x, scanned):
-        lp, is_full = scanned
-        h = _rms_norm(x, lp["norm1"]["scale"], eps)
-        qkv = h @ lp["attn"]["qkv_w"] + lp["attn"]["qkv_b"]
-        # qkv columns are ordered [q | k | v] (each nh·hd wide): slice on the
-        # last axis — the reshape(-1, 3, nh, hd).swapaxes(0, 1) equivalent
-        # materialized a full-tensor transpose per layer
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(-1, nh, hd)
-        k = k.reshape(-1, nh, hd)
-        v = v.reshape(-1, nh, hd)
-        attn = attn_both(q, k, v, is_full)  # rope applied inside the branches
-        attn = attn.reshape(-1, nh * hd) @ lp["attn"]["proj_w"] + lp["attn"]["proj_b"]
-        x = x + attn
-        h = _rms_norm(x, lp["norm2"]["scale"], eps)
-        g = h @ lp["mlp"]["gate_w"] + lp["mlp"]["gate_b"]
-        u = h @ lp["mlp"]["up_w"] + lp["mlp"]["up_b"]
-        x = x + (jax.nn.silu(g) * u) @ lp["mlp"]["down_w"] + lp["mlp"]["down_b"]
-        return x, None
+    def make_layer(attn_fn):
+        def layer(x, lp):
+            h = _rms_norm(x, lp["norm1"]["scale"], eps)
+            qkv = h @ lp["attn"]["qkv_w"] + lp["attn"]["qkv_b"]
+            # qkv columns are ordered [q | k | v] (each nh·hd wide): slice on
+            # the last axis — the reshape(-1, 3, nh, hd).swapaxes(0, 1)
+            # equivalent materialized a full-tensor transpose per layer
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(-1, nh, hd)
+            k = k.reshape(-1, nh, hd)
+            v = v.reshape(-1, nh, hd)
+            attn = attn_fn(q, k, v)  # rope applied inside
+            attn = attn.reshape(-1, nh * hd) @ lp["attn"]["proj_w"] + lp["attn"]["proj_b"]
+            x = x + attn
+            h = _rms_norm(x, lp["norm2"]["scale"], eps)
+            g = h @ lp["mlp"]["gate_w"] + lp["mlp"]["gate_b"]
+            u = h @ lp["mlp"]["up_w"] + lp["mlp"]["up_b"]
+            x = x + (jax.nn.silu(g) * u) @ lp["mlp"]["down_w"] + lp["mlp"]["down_b"]
+            return x, None
 
-    x, _ = jax.lax.scan(layer, x, (blocks, fullatt))
+        return layer
+
+    # The fullatt pattern is periodic in every Qwen2.5-VL config (every g-th
+    # layer, g = 8): scan (g-1)-layer window SEGMENTS with the full layer
+    # unrolled between, instead of a per-layer lax.cond whose untaken branch
+    # still costs scheduling. Non-periodic patterns fall back to the cond.
+    idxs = tuple(cfg.fullatt_block_indexes)
+    g_period = idxs[0] + 1 if idxs else 0
+    periodic = (
+        segment_scan
+        and g_period >= 2
+        and cfg.depth % g_period == 0
+        and idxs == tuple(range(g_period - 1, cfg.depth, g_period))
+    )
+    if periodic:
+        grouped = jax.tree.map(
+            lambda a: a.reshape((cfg.depth // g_period, g_period) + a.shape[1:]),
+            blocks,
+        )
+        win_layer = make_layer(attn_window)
+        full_layer = make_layer(attn_full)
+
+        def group_body(x, gp):
+            lw = jax.tree.map(lambda a: a[: g_period - 1], gp)
+            lf = jax.tree.map(lambda a: a[g_period - 1], gp)
+            x, _ = jax.lax.scan(win_layer, x, lw)
+            x, _ = full_layer(x, lf)
+            return x, None
+
+        x, _ = jax.lax.scan(group_body, x, grouped)
+    else:
+        fullatt = (
+            jnp.zeros((cfg.depth,), jnp.bool_)
+            .at[jnp.array(cfg.fullatt_block_indexes)]
+            .set(True)
+        )
+
+        def layer_cond(x, scanned):
+            lp, is_full = scanned
+
+            def attn_both(q, k, v):
+                return jax.lax.cond(
+                    is_full, lambda: attn_full(q, k, v), lambda: attn_window(q, k, v)
+                )
+
+            return make_layer(attn_both)(x, lp)
+
+        x, _ = jax.lax.scan(layer_cond, x, (blocks, fullatt))
     if freeze_blocks:
         x = jax.lax.stop_gradient(x)
 

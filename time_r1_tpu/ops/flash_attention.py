@@ -285,6 +285,90 @@ def _flash_vjp_fwd(q, k, v, kv_bias, causal, scale, q_offset, block_q, block_k):
     return out, (q, k, v, kv_bias, out, lse)
 
 
+def _flash_bwd_dq(q, k, v, kv_bias, do, lse, delta, causal, scale, q_offset, block_q, block_k):
+    """dq for one (q, kv) pair given GLOBAL lse (B, H, Sq) and delta (B, Sq, H).
+    Reused by the ring-attention backward with per-ring-block kv shards."""
+    B, Sq, H, D = q.shape
+    Skv, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    qT = q.transpose(0, 2, 1, 3)
+    kT = k.transpose(0, 2, 1, 3)
+    vT = v.transpose(0, 2, 1, 3)
+    doT = do.transpose(0, 2, 1, 3)
+    deltaT = jnp.broadcast_to(delta.transpose(0, 2, 1)[..., None], (B, H, Sq, 128))
+    lseT = jnp.broadcast_to(lse[..., None], (B, H, Sq, 128))
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_dq,
+            causal=causal,
+            scale=scale,
+            block_k=block_k,
+            q_offset_blocks=q_offset // block_q,
+        ),
+        grid=(B, H, Sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, Skv), lambda b, h, qi: (b, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, qi: (b, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
+        interpret=_interpret(),
+    )(kv_bias[:, None, :], qT, kT, vT, doT, lseT, deltaT).transpose(0, 2, 1, 3)
+
+
+def _flash_bwd_dkv(q, k, v, kv_bias, do, lse, delta, causal, scale, q_offset, block_q, block_k):
+    """(dk, dv) (B, Skv, Hkv, D) f32, group-summed, for one (q, kv) pair given
+    GLOBAL lse/delta. Reused by the ring-attention backward."""
+    B, Sq, H, D = q.shape
+    Skv, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    qT = q.transpose(0, 2, 1, 3)
+    kT = k.transpose(0, 2, 1, 3)
+    vT = v.transpose(0, 2, 1, 3)
+    doT = do.transpose(0, 2, 1, 3)
+    deltaT = jnp.broadcast_to(delta.transpose(0, 2, 1)[..., None], (B, H, Sq, 128))
+    lseT = jnp.broadcast_to(lse[..., None], (B, H, Sq, 128))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_dkv,
+            causal=causal,
+            scale=scale,
+            block_q=block_q,
+            q_offset_blocks=q_offset // block_q,
+            group=G,
+            sq=Sq,
+        ),
+        grid=(B, H, Skv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, Skv), lambda b, h, kj: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, D), lambda b, h, kj: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h // G, kj, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h // G, kj, 0)),
+            pl.BlockSpec((1, 1, Sq, D), lambda b, h, kj: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, 128), lambda b, h, kj: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, 128), lambda b, h, kj: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h, kj, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h, kj, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(kv_bias[:, None, :], qT, kT, vT, doT, lseT, deltaT)
+    # sum q-head grads within each kv group
+    dk = dk.reshape(B, Hkv, G, Skv, D).sum(axis=2).transpose(0, 2, 1, 3)
+    dv = dv.reshape(B, Hkv, G, Skv, D).sum(axis=2).transpose(0, 2, 1, 3)
+    return dk, dv
+
+
 def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
     q, k, v, kv_bias, out, lse = res
     if scale is None:

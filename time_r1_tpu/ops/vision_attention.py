@@ -136,3 +136,94 @@ def window_attention_rope(
         interpret=interpret,
     )(qT, kT, vT, cosf, sinf, bias2d)
     return out.swapaxes(0, 1)
+
+
+def _full_kernel(
+    q_ref,  # (1, 1, S, hd) pre-rope, one (slice, head)
+    k_ref,  # (1, 1, S, hd)
+    v_ref,  # (1, 1, S, hd)
+    cos_ref,  # (1, S, hd) f32 — slice-gathered rope cos
+    sin_ref,  # (1, S, hd) f32
+    bias_ref,  # (n_slices, S) f32 key bias (whole array in VMEM)
+    o_ref,  # (1, 1, S, hd)
+    *,
+    scale: float,
+):
+    _, _, S, hd = q_ref.shape
+    half = hd // 2
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    sign = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (S, hd), 1) < half, -1.0, 1.0
+    )
+
+    def rope(x):  # (S, hd) f32 — same lane-roll rotate_half as _kernel
+        rot = pltpu.roll(x, half, 1) * sign
+        return x * cos + rot * sin
+
+    qh = rope(q_ref[0, 0].astype(jnp.float32)) * scale
+    kh = rope(k_ref[0, 0].astype(jnp.float32))
+    logits = (
+        jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + bias_ref[pl.program_id(0)][None, :]
+    )
+    p = jax.nn.softmax(logits, axis=-1)
+    vh = v_ref[0, 0].astype(jnp.float32)
+    o_ref[0, 0] = jax.lax.dot(p, vh, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+# per-(slice, head) VMEM budget: the (S, S) f32 logits dominate; 1536² f32
+# ≈ 9.4 MB still fits v5e's 16 MB VMEM alongside the (S, hd) operands.
+FULL_KERNEL_MAX_SLICE = 1536
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def full_attention_rope(
+    q: jnp.ndarray,  # (n_slices, S, nh, hd) slice-gathered, PRE-rope
+    k: jnp.ndarray,  # (n_slices, S, nh, hd) PRE-rope
+    v: jnp.ndarray,  # (n_slices, S, nh, hd)
+    cos: jnp.ndarray,  # (n_slices, S, hd) f32 slice-gathered rope cos
+    sin: jnp.ndarray,  # (n_slices, S, hd) f32
+    key_bias: jnp.ndarray,  # (n_slices, S) f32 — 0 valid, -inf pad/dead keys
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused rope + full attention over (sample, t)-slice blocks — the 4
+    `fullatt_block_indexes` layers of the ViT. One grid step per
+    (slice, head) keeps the (S, S) f32 logits+softmax VMEM-resident (the
+    jnp path materializes them in HBM and serializes slice groups under
+    lax.map). Returns (n_slices, S, nh, hd)."""
+    if interpret is None:
+        interpret = _interpret()
+    n_slices, S, nh, hd = q.shape
+    scale = hd**-0.5
+    assert S <= FULL_KERNEL_MAX_SLICE, (S, FULL_KERNEL_MAX_SLICE)
+
+    cosf = cos.astype(jnp.float32)
+    sinf = sin.astype(jnp.float32)
+    bias = key_bias.astype(jnp.float32)
+    # head-major so each kernel block is (1, 1, S, hd) — see module docstring
+    qT, kT, vT = (x.transpose(2, 0, 1, 3) for x in (q, k, v))
+
+    kernel = functools.partial(_full_kernel, scale=scale)
+    qkv_spec = pl.BlockSpec((1, 1, S, hd), lambda s, h: (h, s, 0, 0))
+    trig_spec = pl.BlockSpec((1, S, hd), lambda s, h: (s, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_slices, nh),
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            trig_spec,
+            trig_spec,
+            pl.BlockSpec((n_slices, S), lambda s, h: (0, 0)),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((nh, n_slices, S, hd), v.dtype),
+        interpret=interpret,
+    )(qT, kT, vT, cosf, sinf, bias)
+    return out.transpose(1, 2, 0, 3)
