@@ -1,4 +1,5 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, maybe_init_distributed
+from .ring_attention import ring_attention_sharded, ring_flash_attention
 from .sharding import param_shardings, shard_params, spec_for_path
 
 __all__ = [
@@ -7,6 +8,8 @@ __all__ = [
     "make_mesh",
     "maybe_init_distributed",
     "param_shardings",
+    "ring_attention_sharded",
+    "ring_flash_attention",
     "shard_params",
     "spec_for_path",
 ]
