@@ -153,8 +153,15 @@ def decoder_forward(
     flash_q_offset: Optional[int] = None,  # STATIC offset enabling flash in the cached prefill
     remat: bool = False,  # jax.checkpoint per layer (reference --gradient_checkpointing)
     collect_hiddens: bool = False,  # ALSO return per-layer outputs (parity harness)
+    cp: Optional[tuple[str, int]] = None,  # (axis_name, axis_size) context parallelism
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
+
+    cp=(axis_name, n): context parallelism — the call runs INSIDE shard_map
+    with the sequence dim of hidden/position_ids/attention_mask sharded over
+    `axis_name`; attention goes through the ring kernel
+    (parallel/ring_attention.py) so each device holds O(S/n) activations.
+    No-cache path only; see `sequence_parallel_decoder` for the wrapper.
 
     collect_hiddens=True (no-cache path only) changes the return to
     (hidden, cache, per_layer (L, B, S, hid)) — each layer's output before
@@ -219,6 +226,10 @@ def decoder_forward(
     # use the grouped-einsum reference. The int8-quantized cache has its own
     # attention (mha_cached_q8) — never the flash path.
     flash = use_flash if use_flash is not None else (cache is None and _flash_eligible(cfg, S))
+    if cp is not None:
+        assert cache is None, "context parallelism covers the no-cache (training) path only"
+        assert not (cfg.use_sliding_window and cfg.sliding_window is not None)
+        flash = True  # ring attention rides the flash kernel
     flash_cached = (
         cache is not None
         and not quant_kv
@@ -281,9 +292,14 @@ def decoder_forward(
                 )
             new_k, new_v = k, v  # ys: the chunk only — written into the cache once, post-scan
         elif flash:
-            from ...ops.flash_attention import flash_attention
+            if cp is not None:
+                from ...parallel.ring_attention import ring_flash_attention
 
-            attn = flash_attention(q, k, v, kv_bias, True, None, 0)
+                attn = ring_flash_attention(q, k, v, kv_bias, cp[0], cp[1], True, None)
+            else:
+                from ...ops.flash_attention import flash_attention
+
+                attn = flash_attention(q, k, v, kv_bias, True, None, 0)
             new_k, new_v = layer_k, layer_v
         else:
             b = jnp.where(is_sliding, window_bias, bias)

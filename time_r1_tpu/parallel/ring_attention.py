@@ -217,3 +217,48 @@ def ring_attention_sharded(
         check_vma=False,
     )
     return fn(q, k, v, kv_bias)
+
+
+def sequence_parallel_decoder(
+    params: dict,
+    cfg,
+    hidden: jnp.ndarray,  # (B, S, hid) GLOBAL — embeddings, vision merged
+    position_ids: jnp.ndarray,  # (3, B, S)
+    attention_mask: Optional[jnp.ndarray],  # (B, S) 1/0
+    mesh: jax.sharding.Mesh,
+    axis_name: str = "data",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run the full decoder stack with the SEQUENCE sharded over `axis_name`:
+    per-position compute (norms, projections, MLPs) is embarrassingly
+    parallel on the shard; attention rides the ring. Per-device activation
+    HBM is O(S/n) — the long-context training configuration (the reference
+    trains 8k-token video contexts on one GPU's FlashAttention-2;
+    timer1_trainer.py:205). Params replicated; param grads psum on the way
+    back out of shard_map. Returns final hidden (B, S, hid), re-assembled.
+
+    S must divide by axis_size × 128 (flash block alignment): pad tokens
+    globally and mask pads via attention_mask."""
+    from ..models.qwen25vl.language import decoder_forward
+
+    n = mesh.shape[axis_name]
+    B, S, _ = hidden.shape
+    assert S % (n * 128) == 0, (S, n)
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+
+    def inner(params, hidden_l, pos_l, mask_l):
+        out, _ = decoder_forward(
+            params, cfg, hidden_l, pos_l, mask_l, None,
+            remat=remat, cp=(axis_name, n),
+        )
+        return out
+
+    fn = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, None, axis_name), P(None, axis_name)),
+        out_specs=P(None, axis_name),
+        check_vma=False,
+    )
+    return fn(params, hidden, position_ids, attention_mask)
