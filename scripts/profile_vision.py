@@ -63,8 +63,9 @@ def main() -> None:
 
     real_cap = va.FULL_KERNEL_MAX_SLICE
 
-    def run(tag, full_cap, segment):
+    def run(tag, full_cap, segment, ablate=""):
         va.FULL_KERNEL_MAX_SLICE = full_cap
+        os.environ["TIMER1_VISION_ABLATE"] = ablate
 
         fn = jax.jit(
             lambda p, pa: vision_forward(
@@ -81,13 +82,20 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / reps * 1000
         print(f"{tag}: {dt:.1f} ms ({dt / n_videos:.1f} ms/video)", file=sys.stderr)
         va.FULL_KERNEL_MAX_SLICE = real_cap
+        os.environ["TIMER1_VISION_ABLATE"] = ""
         return dt
 
-    run("A window-kernel + cond      ", 0, False)
-    run("B + full-attention kernel   ", real_cap, False)
-    run("C + segment scan (default)  ", real_cap, True)
-
-    import os
+    a = run("A window-kernel + cond      ", 0, False)
+    b = run("B + full-attention kernel   ", real_cap, False)
+    run("C + segment scan            ", real_cap, True)
+    d = run("D ablate: attention = v     ", real_cap, False, "no_attn")
+    e = run("E ablate: no MLP            ", real_cap, False, "no_mlp")
+    print(
+        f"decomposition: attention≈{(b - d) / n_videos:.1f} ms/video, "
+        f"mlp≈{(b - e) / n_videos:.1f} ms/video, "
+        f"rest≈{(d + e - b) / n_videos:.1f} ms/video",
+        file=sys.stderr,
+    )
 
     os._exit(0)  # tunnel plugin can abort in a background thread at shutdown
 

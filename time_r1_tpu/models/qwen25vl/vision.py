@@ -25,6 +25,7 @@ valid outputs are bit-identical to the unpadded computation (tested).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -358,6 +359,9 @@ def vision_forward(
         return jnp.take(out.reshape(-1, nh, hd), prep_full_inverse, axis=0)
 
     blocks = params["blocks"]
+    # profiling-only ablation knob (scripts/profile_vision.py): baked at trace
+    # time, never set in production paths
+    ablate = os.environ.get("TIMER1_VISION_ABLATE", "")
 
     def make_layer(attn_fn):
         def layer(x, lp):
@@ -370,13 +374,17 @@ def vision_forward(
             q = q.reshape(-1, nh, hd)
             k = k.reshape(-1, nh, hd)
             v = v.reshape(-1, nh, hd)
-            attn = attn_fn(q, k, v)  # rope applied inside
+            if ablate == "no_attn":
+                attn = v
+            else:
+                attn = attn_fn(q, k, v)  # rope applied inside
             attn = attn.reshape(-1, nh * hd) @ lp["attn"]["proj_w"] + lp["attn"]["proj_b"]
             x = x + attn
-            h = _rms_norm(x, lp["norm2"]["scale"], eps)
-            g = h @ lp["mlp"]["gate_w"] + lp["mlp"]["gate_b"]
-            u = h @ lp["mlp"]["up_w"] + lp["mlp"]["up_b"]
-            x = x + (jax.nn.silu(g) * u) @ lp["mlp"]["down_w"] + lp["mlp"]["down_b"]
+            if ablate != "no_mlp":
+                h = _rms_norm(x, lp["norm2"]["scale"], eps)
+                g = h @ lp["mlp"]["gate_w"] + lp["mlp"]["gate_b"]
+                u = h @ lp["mlp"]["up_w"] + lp["mlp"]["up_b"]
+                x = x + (jax.nn.silu(g) * u) @ lp["mlp"]["down_w"] + lp["mlp"]["down_b"]
             return x, None
 
         return layer

@@ -37,25 +37,27 @@ def _interpret() -> bool:
 
 
 def _kernel(
-    q_ref,  # (1, blk, hd) pre-rope, one head
-    k_ref,  # (1, blk, hd) pre-rope
-    v_ref,  # (1, blk, hd)
-    cos_ref,  # (blk, hd) f32
-    sin_ref,  # (blk, hd) f32
-    bias_ref,  # (n_blocks, blk) f32 key-validity bias (whole array in VMEM)
-    o_ref,  # (1, blk, hd)
+    q_ref,  # (1, sub·blk, hd) pre-rope, one head
+    k_ref,  # (1, sub·blk, hd) pre-rope
+    v_ref,  # (1, sub·blk, hd)
+    cos_ref,  # (sub·blk, hd) f32
+    sin_ref,  # (sub·blk, hd) f32
+    bias_ref,  # (n_cells, sub·blk) f32 key-validity bias (whole array in VMEM)
+    o_ref,  # (1, sub·blk, hd)
     *,
     win_patches: int,
     scale: float,
+    blk: int,
 ):
-    _, blk, hd = q_ref.shape
+    _, rows, hd = q_ref.shape
+    sub = rows // blk
     half = hd // 2
-    cos = cos_ref[...]
-    sin = sin_ref[...]
-    # block-diagonal window mask + key-validity, shared by all heads
+    # block-diagonal window mask, identical for every sub-block (windows are
+    # uniform and blk is a whole number of windows); key bias varies per sub
     row_w = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0) // win_patches
     col_w = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1) // win_patches
-    mask = jnp.where(row_w == col_w, 0.0, NEG_INF) + bias_ref[pl.program_id(0)][None, :]
+    win_mask = jnp.where(row_w == col_w, 0.0, NEG_INF)
+    cell_bias = bias_ref[pl.program_id(0)]  # (sub·blk,)
 
     # rotate_half via a LANE ROLL (hd=80 splits at 40 lanes — a concat there
     # is an unsupported shape cast for Mosaic; roll is a native lane rotate):
@@ -65,27 +67,37 @@ def _kernel(
         jax.lax.broadcasted_iota(jnp.int32, (blk, hd), 1) < half, -1.0, 1.0
     )
 
-    def rope(x):  # (blk, hd) f32
-        rot = pltpu.roll(x, half, 1) * sign
-        return x * cos + rot * sin
+    # statically unrolled loop over blk-row sub-blocks: one grid cell does
+    # `sub` independent window attentions, amortizing the per-cell fixed cost
+    # (grid iteration + DMA turnaround) that dominates at 64-patch windows
+    # while keeping each softmax at (blk, blk) VMEM
+    for s in range(sub):
+        rows_s = pl.ds(s * blk, blk)
+        cos = cos_ref[rows_s, :]
+        sin = sin_ref[rows_s, :]
 
-    qh = rope(q_ref[0].astype(jnp.float32)) * scale
-    kh = rope(k_ref[0].astype(jnp.float32))
-    logits = (
-        jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        def rope(x):  # (blk, hd) f32
+            rot = pltpu.roll(x, half, 1) * sign
+            return x * cos + rot * sin
+
+        qh = rope(q_ref[0, rows_s, :].astype(jnp.float32)) * scale
+        kh = rope(k_ref[0, rows_s, :].astype(jnp.float32))
+        logits = (
+            jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            + win_mask
+            + cell_bias[s * blk : (s + 1) * blk][None, :]
         )
-        + mask
-    )
-    p = jax.nn.softmax(logits, axis=-1)
-    vh = v_ref[0].astype(jnp.float32)
-    o_ref[0] = jax.lax.dot(p, vh, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
-    )
+        p = jax.nn.softmax(logits, axis=-1)
+        vh = v_ref[0, rows_s, :].astype(jnp.float32)
+        o_ref[0, rows_s, :] = jax.lax.dot(
+            p, vh, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_patches", "block_windows", "interpret")
+    jax.jit, static_argnames=("win_patches", "block_windows", "sub_blocks", "interpret")
 )
 def window_attention_rope(
     q: jnp.ndarray,  # (P, nh, hd) PRE-rope
@@ -96,31 +108,38 @@ def window_attention_rope(
     key_bias: jnp.ndarray,  # (P,) f32 — 0 for valid keys, -inf for pad slots
     win_patches: int,
     block_windows: int = 2,
+    sub_blocks: int = 8,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused rope + window attention over fixed-size windows. P must be a
     multiple of block_windows·win_patches (the padded-window layout
-    guarantees whole windows)."""
+    guarantees whole windows). Each grid cell processes up to `sub_blocks`
+    consecutive (block_windows·win_patches)-row blocks in an unrolled loop —
+    fewer, fatter cells amortize the per-cell fixed cost."""
     if interpret is None:
         interpret = _interpret()
     P, nh, hd = q.shape
     blk = block_windows * win_patches
     assert P % blk == 0, (P, blk)
     n_blocks = P // blk
+    sub = sub_blocks
+    while n_blocks % sub != 0:
+        sub //= 2
+    n_cells = n_blocks // sub
     scale = hd**-0.5
 
-    bias2d = key_bias.astype(jnp.float32).reshape(n_blocks, blk)
+    bias2d = key_bias.astype(jnp.float32).reshape(n_cells, sub * blk)
     cosf = cos.astype(jnp.float32)
     sinf = sin.astype(jnp.float32)
-    # head-major so each kernel block is (1, blk, hd) — see module docstring
+    # head-major so each kernel block is (1, sub·blk, hd) — see module docstring
     qT, kT, vT = (x.swapaxes(0, 1) for x in (q, k, v))
 
-    kernel = functools.partial(_kernel, win_patches=win_patches, scale=scale)
-    qkv_spec = pl.BlockSpec((1, blk, hd), lambda b, h: (h, b, 0))
-    trig_spec = pl.BlockSpec((blk, hd), lambda b, h: (b, 0))
+    kernel = functools.partial(_kernel, win_patches=win_patches, scale=scale, blk=blk)
+    qkv_spec = pl.BlockSpec((1, sub * blk, hd), lambda b, h: (h, b, 0))
+    trig_spec = pl.BlockSpec((sub * blk, hd), lambda b, h: (b, 0))
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks, nh),
+        grid=(n_cells, nh),
         in_specs=[
             qkv_spec,
             qkv_spec,
@@ -129,7 +148,7 @@ def window_attention_rope(
             trig_spec,
             # whole bias array resident (n_blocks·blk f32 = a few KB): a
             # (1, blk) block would violate the (8, 128)-divisibility rule
-            pl.BlockSpec((n_blocks, blk), lambda b, h: (0, 0)),
+            pl.BlockSpec((n_cells, sub * blk), lambda b, h: (0, 0)),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((nh, P, hd), v.dtype),
