@@ -352,6 +352,117 @@ def decoder_forward(
     return hidden, new_cache
 
 
+def suffix_cache_zeros(
+    cfg: TextConfig, batch: int, max_new: int, quant: bool, dtype=jnp.bfloat16
+) -> KVCache:
+    """Empty per-row generated-suffix cache for shared-prefix decode."""
+    shape = (cfg.num_hidden_layers, batch, max_new, cfg.num_key_value_heads, cfg.head_dim)
+    if quant:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            length=jnp.zeros((), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+
+def shared_decode_forward(
+    params: dict,
+    cfg: TextConfig,
+    hidden: jnp.ndarray,  # (B, S, hidden) — B = P·R rollout rows, row-major by prompt
+    position_ids: jnp.ndarray,  # (3, B, S)
+    prefix: KVCache,  # (L, P, Lp, Hkv, hd) — ONE prompt-prefix copy per prompt
+    suffix: KVCache,  # (L, B, max_new, Hkv, hd) — per-row generated tokens
+    prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive (0 valid / NEG_INF pad)
+) -> tuple[jnp.ndarray, KVCache]:
+    """Decode step with the prompt KV shared across rollout rows (GRPO G-way
+    decode / grouped serving). Attention per layer covers [shared prefix |
+    own suffix | current chunk] with one combined softmax
+    (ops/attention.mha_shared_prefix); the new K/V append to the suffix with
+    one in-place update per call. Versus replicating the prefix per row
+    (vLLM replicates pages logically, not physically — vllm_infer.py:48-57),
+    this streams the prefix cache once per prompt instead of once per row:
+    at the GRPO bench shape (G=8 × 1.8k prompt) that is ~230 MB less HBM
+    traffic per decode step and ~8× less cache memory.
+
+    prefix.length is unused (prefix_bias masks pad slots); suffix.length
+    counts generated tokens and must be uniform across rows."""
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    B, S, _ = hidden.shape
+    quant = suffix.k.dtype == jnp.int8
+    cos, sin = mrope_cos_sin(cfg, position_ids)
+    cos_b = cos[:, :, None, :]
+    sin_b = sin[:, :, None, :]
+
+    bias_pref = prefix_bias[:, None, None, :]  # (P, 1, 1, Lp) → broadcasts over S
+    Lo = suffix.k.shape[2]
+    own_valid = jnp.arange(Lo)[None, :] < suffix.length
+    bias_own = jnp.where(own_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+    i_pos = jnp.arange(S)[:, None]
+    j_pos = jnp.arange(S)[None, :]
+    bias_new = jnp.where(j_pos <= i_pos, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+
+    from ...ops.attention import mha_shared_prefix
+    from ...ops.quant import quantize_kv
+
+    def layer(x, scanned):
+        if quant:
+            lp, kp, vp, kps, vps, ko, vo, kos, vos = scanned
+        else:
+            lp, kp, vp, ko, vo = scanned
+            kps = vps = kos = vos = None
+        h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
+        k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
+        attn = mha_shared_prefix(
+            q, kp, vp, kps, vps, ko, vo, kos, vos, k, v, bias_pref, bias_own, bias_new
+        )
+        a = qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+        x = x + a
+        h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
+        x = x + mlp_proj(h2, lp["mlp"])
+        if quant:
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            return x, (k8, ks, v8, vs)
+        return x, (k, v)
+
+    layers = params["layers"]
+    if quant:
+        xs = (
+            layers, prefix.k, prefix.v, prefix.k_scale, prefix.v_scale,
+            suffix.k, suffix.v, suffix.k_scale, suffix.v_scale,
+        )
+        hidden, (k8s, kss, v8s, vss) = jax.lax.scan(layer, hidden, xs)
+        at = (0, 0, suffix.length, 0, 0)
+        new_suffix = KVCache(
+            k=jax.lax.dynamic_update_slice(suffix.k, k8s, at),
+            v=jax.lax.dynamic_update_slice(suffix.v, v8s, at),
+            length=suffix.length + S,
+            k_scale=jax.lax.dynamic_update_slice(suffix.k_scale, kss, at[:-1]),
+            v_scale=jax.lax.dynamic_update_slice(suffix.v_scale, vss, at[:-1]),
+        )
+    else:
+        xs = (layers, prefix.k, prefix.v, suffix.k, suffix.v)
+        hidden, (ks, vs) = jax.lax.scan(layer, hidden, xs)
+        new_suffix = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                suffix.k, ks.astype(suffix.k.dtype), (0, 0, suffix.length, 0, 0)
+            ),
+            v=jax.lax.dynamic_update_slice(
+                suffix.v, vs.astype(suffix.v.dtype), (0, 0, suffix.length, 0, 0)
+            ),
+            length=suffix.length + S,
+        )
+    hidden = _rms_norm(hidden, params["norm"]["scale"], eps)
+    return hidden, new_suffix
+
+
 def lm_logits(params: dict, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project final hidden states to vocab logits (fp32).
 

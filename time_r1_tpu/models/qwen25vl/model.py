@@ -15,7 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from .config import Qwen25VLConfig
-from .language import KVCache, decoder_forward, init_text_params, lm_logits
+from .language import (
+    KVCache,
+    decoder_forward,
+    init_text_params,
+    lm_logits,
+    shared_decode_forward,
+)
 from .vision import init_vision_params, vision_forward
 
 
@@ -127,3 +133,27 @@ def forward(
         flash_q_offset=flash_q_offset,
     )
     return lm_logits(params["text"], cfg.text, hidden), new_cache
+
+
+def forward_shared_decode(
+    params: dict,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,  # (B, S) — decode chunk (no vision tokens)
+    position_ids: jnp.ndarray,  # (3, B, S)
+    prefix: KVCache,  # (L, P, Lp, …) shared prompt prefixes
+    suffix: KVCache,  # (L, B, max_new, …) per-row generated suffix
+    prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive
+) -> tuple[jnp.ndarray, KVCache]:
+    """Decode-phase forward with the prompt KV shared across rollout rows
+    (language.shared_decode_forward) → (logits (B, S, V) fp32, new suffix)."""
+    from ...ops.quant import embed_lookup
+
+    embeds = embed_lookup(
+        params["text"]["embed_tokens"]["embedding"],
+        input_ids,
+        dtype=params["text"]["norm"]["scale"].dtype,
+    )
+    hidden, new_suffix = shared_decode_forward(
+        params["text"], cfg.text, embeds, position_ids, prefix, suffix, prefix_bias
+    )
+    return lm_logits(params["text"], cfg.text, hidden), new_suffix

@@ -98,6 +98,94 @@ def mha_cached(
     return out.reshape(B, S, H, D)
 
 
+def mha_shared_prefix(
+    q: jnp.ndarray,  # (B, S, H, D) — current chunk queries (post-rope), B = P·R
+    k_pref: jnp.ndarray,  # (P, Lp, Hkv, D) — prompt-prefix cache, ONE copy per prompt
+    v_pref: jnp.ndarray,
+    ks_pref: Optional[jnp.ndarray],  # (P, Lp, Hkv) f32 scales when the prefix is int8
+    vs_pref: Optional[jnp.ndarray],
+    k_own: jnp.ndarray,  # (B, Lo, Hkv, D) — per-row generated-suffix cache
+    v_own: jnp.ndarray,
+    ks_own: Optional[jnp.ndarray],  # (B, Lo, Hkv) f32 scales when the suffix is int8
+    vs_own: Optional[jnp.ndarray],
+    k_new: jnp.ndarray,  # (B, S, Hkv, D) — UNQUANTIZED current chunk
+    v_new: jnp.ndarray,
+    bias_pref: jnp.ndarray,  # (P, 1, S, Lp) additive (prompt padding)
+    bias_own: jnp.ndarray,  # (B|1, 1, S, Lo) additive (suffix validity)
+    bias_new: jnp.ndarray,  # (B|1, 1, S, S) additive (causal within chunk)
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Grouped-rollout decode attention with the prompt KV stored ONCE per
+    prompt. Rows [i·R, (i+1)·R) attend to prefix i plus their own generated
+    suffix plus the in-register chunk, with the softmax combined across all
+    three sources — mathematically identical to attention over their
+    concatenation. For GRPO's G-way rollouts this drops the decode-step KV
+    stream (and the cache HBM footprint) by ~G× over replicating the prefix
+    per row (vLLM gets the same effect from shared prefix pages;
+    vllm_infer.py:48-57 capability class). int8 prefix/suffix scales fold on
+    the score/prob axes exactly as in mha_cached_q8."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, S, H, D = q.shape
+    P, Lp, Hkv, _ = k_pref.shape
+    R = B // P
+    G = H // Hkv
+
+    # prefix logits: contract per prompt — (R·S·G) q rows hit each prefix once
+    qp = q.reshape(P, R, S, Hkv, G, D)
+    lp = jnp.einsum(
+        "prshgd,pkhd->prhgsk", qp, k_pref.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale
+    if ks_pref is not None:
+        lp = lp * jnp.moveaxis(ks_pref, 1, -1)[:, None, :, None, None, :]
+    lp = lp.reshape(B, Hkv, G, S, Lp)
+    bp = jnp.broadcast_to(bias_pref[:, None], (P, R) + bias_pref.shape[1:]).reshape(
+        B, *bias_pref.shape[1:]
+    )
+    lp = lp + _bias_grouped(bp, H, Hkv)
+
+    qg = q.reshape(B, S, Hkv, G, D)
+    lo = jnp.einsum(
+        "bshgd,bkhd->bhgsk", qg, k_own.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale
+    if ks_own is not None:
+        lo = lo * jnp.moveaxis(ks_own, 1, -1)[:, :, None, None, :]
+    lo = lo + _bias_grouped(bias_own, H, Hkv)
+    ln = jnp.einsum(
+        "bshgd,bkhd->bhgsk", qg, k_new, preferred_element_type=jnp.float32
+    ) * scale
+    ln = ln + _bias_grouped(bias_new, H, Hkv)
+
+    m = jnp.maximum(
+        jnp.max(lp, axis=-1), jnp.maximum(jnp.max(lo, axis=-1), jnp.max(ln, axis=-1))
+    )  # (B, Hkv, G, S)
+    pp = jnp.exp(lp - m[..., None])
+    po = jnp.exp(lo - m[..., None])
+    pn = jnp.exp(ln - m[..., None])
+    denom = jnp.sum(pp, axis=-1) + jnp.sum(po, axis=-1) + jnp.sum(pn, axis=-1)
+    pp = pp / denom[..., None]
+    po = po / denom[..., None]
+    pn = pn / denom[..., None]
+    if vs_pref is not None:
+        ppr = pp.reshape(P, R, Hkv, G, S, Lp) * jnp.moveaxis(vs_pref, 1, -1)[
+            :, None, :, None, None, :
+        ]
+    else:
+        ppr = pp.reshape(P, R, Hkv, G, S, Lp)
+    out = jnp.einsum(
+        "prhgsk,pkhd->prshgd", ppr.astype(q.dtype), v_pref.astype(q.dtype)
+    ).reshape(B, S, H, D)
+    if vs_own is not None:
+        po = po * jnp.moveaxis(vs_own, 1, -1)[:, :, None, None, :]
+    out = out + jnp.einsum(
+        "bhgsk,bkhd->bshgd", po.astype(q.dtype), v_own.astype(q.dtype)
+    ).reshape(B, S, H, D)
+    out = out + jnp.einsum(
+        "bhgsk,bkhd->bshgd", pn.astype(v_new.dtype), v_new
+    ).reshape(B, S, H, D)
+    return out
+
+
 def mha_cached_q8(
     q: jnp.ndarray,  # (B, S, H, D) — current chunk queries (post-rope)
     k8_old: jnp.ndarray,  # (B, Lkv, Hkv, D) int8 quantized cache

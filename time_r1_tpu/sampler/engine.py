@@ -200,6 +200,63 @@ def decode_loop(
     return final.tokens
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(3,))
+def decode_loop_shared(
+    params,
+    cfg: Qwen25VLConfig,
+    prefix: KVCache,  # (L, P, Lp, …) shared prompt prefixes (one per prompt)
+    suffix: KVCache,  # (L, B, max_new_pad, …) per-row suffix, B = P·G
+    first_logits: jnp.ndarray,  # (B, V)
+    start_pos: jnp.ndarray,  # (B,)
+    prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive (prompt padding)
+    sp: SamplingParams,
+    rng: jnp.ndarray,
+) -> jnp.ndarray:
+    """decode_loop over the shared-prefix cache layout: the prompt KV is
+    stored once per prompt and every rollout row keeps only its own
+    generated-suffix cache (models/qwen25vl/language.shared_decode_forward).
+    Same sampling/stop semantics as decode_loop."""
+    from ..models.qwen25vl import forward_shared_decode
+
+    B = first_logits.shape[0]
+    max_new = sp.max_new_tokens
+    stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
+    track_counts = sp.repetition_penalty != 1.0
+    V = first_logits.shape[-1]
+
+    rng, sub = jax.random.split(rng)
+    first = sample_tokens(first_logits, sub, sp)
+    counts0 = jnp.zeros((B, V if track_counts else 1), jnp.int32)
+    if track_counts:
+        counts0 = counts0.at[jnp.arange(B), first].add(1)
+    tokens0 = jnp.full((B, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
+    done0 = jnp.isin(first, stop_ids)
+
+    def cond(s: DecodeState):
+        return (s.step < max_new) & ~jnp.all(s.done)
+
+    def body(s: DecodeState):
+        pos = start_pos + s.step
+        pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+        lg, suf = forward_shared_decode(
+            params, cfg, s.last[:, None], pos3, prefix, s.cache, prefix_bias
+        )
+        rng2, sub2 = jax.random.split(s.rng)
+        nxt = sample_tokens(lg[:, -1], sub2, sp, s.counts if track_counts else None)
+        nxt = jnp.where(s.done, cfg.pad_token_id, nxt)
+        if track_counts:
+            counts = s.counts.at[jnp.arange(B), nxt].add(jnp.where(s.done, 0, 1))
+        else:
+            counts = s.counts
+        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
+        done = s.done | jnp.isin(nxt, stop_ids)
+        return DecodeState(suf, tokens, nxt, done, s.step + 1, rng2, counts)
+
+    init = DecodeState(suffix, tokens0, first, done0, jnp.ones((), jnp.int32), rng, counts0)
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens
+
+
 class Engine:
     """Request-level generation engine over a loaded model."""
 
@@ -315,30 +372,34 @@ class Engine:
         (stop token included when sp.include_stop_token).
 
         G-way grouped rollouts (the GRPO shape) prefill each UNIQUE prompt
-        once and broadcast its KV cache to G rows — the reference pays the
-        full prefill (and ZeRO-3 gather) per rollout row instead."""
+        once and keep ONE shared copy of its prompt KV: the G rows decode
+        against [shared prefix | own suffix] via the combined-softmax
+        attention (shared_decode_forward) — the reference pays the full
+        prefill (and ZeRO-3 gather) per rollout row, and even its vLLM
+        rollouts replicate nothing only because of paged prefix sharing."""
         G = sp.num_return_sequences
         if G > 1:
-            ids1, mask1, pos1, start1, vis, S, max_len = self._pack(
-                list(requests), extra_len=sp.max_new_tokens
-            )
-            fl1, cache1 = self._prefill(ids1, mask1, pos1, vis, S, max_len)
-            B = len(requests)
-            # row-major repeat: rows [i·G, (i+1)·G) belong to prompt i
+            from ..models.qwen25vl import suffix_cache_zeros
+            from ..models.qwen25vl.language import NEG_INF as _NEG_INF
+
+            ids1, mask1, pos1, start1, vis, S, _ = self._pack(list(requests), extra_len=0)
+            fl1, prefix = self._prefill(ids1, mask1, pos1, vis, S, S)
+            # rows [i·G, (i+1)·G) belong to prompt i (row-major)
             first_logits = jnp.repeat(fl1, G, axis=0)
-            cache = KVCache(
-                k=jnp.repeat(cache1.k, G, axis=1),
-                v=jnp.repeat(cache1.v, G, axis=1),
-                length=cache1.length,
-            )
             reqs = [r for r in requests for _ in range(G)]
-            mask = np.repeat(mask1, G, axis=0)
             start_pos = np.repeat(start1, G, axis=0)
-            cache = self._maybe_quant_cache(cache)
+            prefix = self._maybe_quant_cache(prefix)
+            suffix = suffix_cache_zeros(
+                self.cfg.text, len(reqs), _round_up(sp.max_new_tokens, 128),
+                quant=self.kv_cache_quant, dtype=self.dtype,
+            )
+            prefix_bias = jnp.where(
+                jnp.asarray(mask1[:, :S]) > 0, 0.0, _NEG_INF
+            ).astype(jnp.float32)
             rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
-            tokens = decode_loop(
-                self.params, self.cfg, cache, first_logits,
-                jnp.asarray(start_pos), jnp.asarray(mask), sp, rng,
+            tokens = decode_loop_shared(
+                self.params, self.cfg, prefix, suffix, first_logits,
+                jnp.asarray(start_pos), prefix_bias, sp, rng,
             )
             return self._postprocess(np.asarray(tokens), len(reqs), sp)
 
