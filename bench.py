@@ -7,7 +7,9 @@ the recipes' 3584·28² pixel budget), Qwen2.5-VL-3B architecture.
 Decode runs the weight-only int8 path plus the int8 KV cache
 (ops/quant.py): decode at this batch is HBM-bound, and int8 halves the
 weight stream (bf16 ≈ 9.7 ms/step vs int8 ≈ 5.6 ms/step at 2k context on
-v5e). Rollout sampling through a quantized
+v5e). The G rows share ONE physical prompt-KV copy (mha_shared_prefix, the
+engine's rollout layout) so the prefix streams once per step, not G times.
+Rollout sampling through a quantized
 policy is the same capability class as the reference's vLLM rollouts (which
 never bit-match its DeepSpeed trainer forward either); logps for the loss
 are recomputed in bf16.
@@ -101,7 +103,21 @@ def main():
     vis = VisionInputs.build(prep, jnp.asarray(patches, jnp.bfloat16))
 
     sp = SamplingParams(temperature=1.0, max_new_tokens=DECODE_STEPS)
-    maskj = jnp.asarray(mask)
+
+    # GRPO rollouts prefill each UNIQUE prompt once; the decode keeps ONE
+    # physical prompt-KV copy shared by the G rows (mha_shared_prefix) —
+    # the layout the engine actually runs (sampler/engine.decode_loop_shared)
+    ids1 = ids[:1]
+    mask1 = np.ones((1, S), np.int64)
+    pos_ids1, _ = get_rope_index(
+        cfg,
+        ids1,
+        video_grid_thw=np.array([VIDEO_GRID]),
+        second_per_grid_ts=[1.0],
+        attention_mask=mask1,
+    )
+    prep1 = prepare_vision_inputs([VIDEO_GRID], cfg.vision)
+    mask1j = jnp.asarray(mask1)
 
     # int8 weight-only decode params + int8 KV cache (the quantized-rollout
     # path); the bf16 tree is dropped immediately — 6.2 GB of HBM back
@@ -112,33 +128,42 @@ def main():
     del params
     jax.block_until_ready(p8)
 
+    from time_r1_tpu.models.qwen25vl import forward_shared_decode, suffix_cache_zeros
+
     @jax.jit
     def prefill(params, ids, pos_ids, vis):
-        cache = KVCache.zeros(cfg.text, BATCH, max_len, dtype=jnp.bfloat16)
+        # one row per UNIQUE prompt, prompt-length cache only (the shared
+        # prefix never grows)
+        cache = KVCache.zeros(cfg.text, 1, S, dtype=jnp.bfloat16)
         # flash_q_offset=0: MXU-aligned prefill rides the Pallas flash kernel
         # (the engine's chunked-prefill path does the same)
         logits, cache = forward(
-            params, cfg, ids, pos_ids, attention_mask=maskj, vision=vis, cache=cache,
+            params, cfg, ids, pos_ids, attention_mask=mask1j, vision=vis, cache=cache,
             flash_q_offset=0,
         )
         first = sample_tokens(logits[:, -1], jax.random.PRNGKey(1), sp)
         return cache, first
 
+    start_pos_g = jnp.broadcast_to(start_pos[:1], (BATCH,))
+    prefix_bias = jnp.zeros((1, S), jnp.float32)
+
     @functools.partial(jax.jit, static_argnames=("steps",))
-    def decode(params, cache, last, steps: int):
+    def decode(params, prefix, suffix, last, steps: int):
         def body(i, carry):
-            cache, last, rng = carry
-            pos = start_pos + cache.length - S
+            suffix, last, rng = carry
+            pos = start_pos_g + suffix.length
             pos3 = jnp.broadcast_to(pos[None, :, None], (3, BATCH, 1))
-            logits, cache = forward(
-                params, cfg, last[:, None], pos3, attention_mask=maskj, cache=cache
+            logits, suffix = forward_shared_decode(
+                params, cfg, last[:, None], pos3, prefix, suffix, prefix_bias
             )
             rng, sub = jax.random.split(rng)
             nxt = sample_tokens(logits[:, -1], sub, sp)
-            return cache, nxt, rng
+            return suffix, nxt, rng
 
-        cache, last, _ = jax.lax.fori_loop(0, steps, body, (cache, last, jax.random.PRNGKey(2)))
-        return cache, last
+        suffix, last, _ = jax.lax.fori_loop(
+            0, steps, body, (suffix, last, jax.random.PRNGKey(2))
+        )
+        return suffix, last
 
     # compile + warmup (int8 path). NOTE: timing syncs use a host transfer
     # (float(jnp.sum(...))) — jax.block_until_ready has been observed to
@@ -146,32 +171,37 @@ def main():
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
-    cache, first = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    vis1 = VisionInputs.build(prep1, jnp.asarray(patches[:n_patches], jnp.bfloat16))
+    ids1j, pos1j = jnp.asarray(ids1), jnp.asarray(pos_ids1)
+    cache, first = prefill(p8, ids1j, pos1j, vis1)
     sync(first)
     t0 = time.perf_counter()
-    cache2, f2 = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
+    cache2, f2 = prefill(p8, ids1j, pos1j, vis1)
     sync(f2)
     prefill_time = time.perf_counter() - t0
     del cache2
 
-    cache = quantize_kv_cache(cache)
-    c3, l3 = decode(p8, cache, first, DECODE_STEPS)  # warmup/compile (same static steps!)
+    prefix = quantize_kv_cache(cache)
+    suffix0 = suffix_cache_zeros(cfg.text, BATCH, DECODE_STEPS, quant=True)
+    first_g = jnp.broadcast_to(first, (BATCH,))
+    s3, l3 = decode(p8, prefix, suffix0, first_g, DECODE_STEPS)  # warmup/compile
     sync(l3)
-    del c3
+    del s3
     # steady-state throughput: best of 3 timed runs (each from a fresh
     # prefilled cache; host jitter through the TPU tunnel is the noise)
     decode_time = float("inf")
     for _ in range(3):
-        cache, first = prefill(p8, jnp.asarray(ids), jnp.asarray(pos_ids), vis)
-        cache = quantize_kv_cache(cache)
+        cache, first = prefill(p8, ids1j, pos1j, vis1)
+        prefix = quantize_kv_cache(cache)
+        first_g = jnp.broadcast_to(first, (BATCH,))
         # timing must not absorb the async prefill OR the cache quantize
         sync(first)
-        sync(cache.k_scale[0, 0, 0])
+        sync(prefix.k_scale[0, 0, 0])
         t0 = time.perf_counter()
-        c4, l4 = decode(p8, cache, first, DECODE_STEPS)
+        s4, l4 = decode(p8, prefix, suffix0, first_g, DECODE_STEPS)
         sync(l4)  # host transfer — forces real completion
         decode_time = min(decode_time, time.perf_counter() - t0)
-        del c4, cache
+        del s4, cache, prefix
 
     # the REAL engine path (shared-prefix G-way rollout incl. admission,
     # chunked prefill, while_loop decode with stop handling + host sync)
@@ -201,7 +231,7 @@ def main():
         "vs_baseline": round(toks_per_s / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
     }
     print(
-        f"[bench] int8w prefill({BATCH}x{S} tokens incl. {n_vis} video) = {prefill_time*1e3:.0f} ms; "
+        f"[bench] int8w prefill(1x{S} tokens incl. {n_vis} video, shared by G={BATCH}) = {prefill_time*1e3:.0f} ms; "
         f"decode {DECODE_STEPS} steps = {decode_time*1e3:.0f} ms "
         f"({decode_time/DECODE_STEPS*1e3:.2f} ms/step); "
         f"engine end-to-end G={BATCH} = {engine_time*1e3:.0f} ms for {engine_toks} tokens "
