@@ -105,6 +105,19 @@ def main():
         jax.block_until_ready(vloss)
     vision_loss = float(vloss)
 
+    # shared-prefix (split) layout across processes: comp rows assemble
+    # globally, prompt rows host-allgather + replicate; loss must match the
+    # same union's full-row loss (the parent compares against its oracle)
+    from time_r1_tpu.rl import build_grpo_split_batch
+
+    sbatch = build_grpo_split_batch(CFG, [vgroup], dtype=jnp.float32)
+    gs = GRPOTrainer._shard_batch(shim, sbatch, [grid])
+    assert gs.comp_ids.shape[0] == 8 and gs.prompt_ids.shape[0] == 2
+    with jax.set_mesh(mesh):
+        sloss, _ = jax.jit(lambda p, b: grpo_loss(p, CFG, hp, b))(params, gs)
+        jax.block_until_ready(sloss)
+    split_vision_loss = float(sloss)
+
     # metrics gather with RANK-ASYMMETRIC populated keys (VERDICT r2 weak#4):
     # only pid 0's completions parse — its timestep metric is populated,
     # pid 1's is absent. The registry gather must neither hang nor mix keys.
@@ -124,7 +137,15 @@ def main():
     import json
 
     with open(out_path, "w") as f:
-        json.dump({"loss": float(loss), "vision_loss": vision_loss, "metrics": gathered}, f)
+        json.dump(
+            {
+                "loss": float(loss),
+                "vision_loss": vision_loss,
+                "split_vision_loss": split_vision_loss,
+                "metrics": gathered,
+            },
+            f,
+        )
     sys.stdout.flush()
     os._exit(0)
 

@@ -187,3 +187,85 @@ def test_vision_dedup_matches_replicated_oracle(params):
     np.testing.assert_allclose(float(l_d), float(l_r), rtol=1e-5, atol=1e-6)
     for k in m_d:
         np.testing.assert_allclose(float(m_d[k]), float(m_r[k]), rtol=1e-4, atol=1e-5)
+
+
+def _mk_groups(with_video: bool, G: int = 3, P: int = 2):
+    groups = []
+    for gi in range(P):
+        r = np.random.default_rng(100 + gi)
+        if with_video:
+            n_vis = 2 * 2 * 2
+            prompt = (
+                list(r.integers(2, 200, 3 + gi))
+                + [CFG.vision_start_token_id]
+                + [CFG.video_token_id] * n_vis
+                + [CFG.vision_end_token_id]
+                + [7]
+            )
+        else:
+            prompt = list(r.integers(2, 200, 9 + gi))
+        g = {
+            "prompt_ids": prompt,
+            "completions": [
+                list(r.integers(2, 200, 3 + j)) + [CFG.eos_token_id] for j in range(G)
+            ],
+            "advantages": r.normal(size=G).astype(np.float32),
+        }
+        if with_video:
+            g.update(
+                patches=r.normal(size=(2 * 4 * 4, CFG.vision.patch_input_dim)).astype(np.float32),
+                grid_thw=(2, 4, 4),
+                second_per_grid_t=1.0,
+            )
+        groups.append(g)
+    return groups
+
+
+@pytest.mark.parametrize("with_video", [False, True])
+@pytest.mark.parametrize("beta", [0.0, 0.04])
+def test_split_batch_loss_matches_full_rows(params, with_video, beta):
+    """The shared-prefix loss (GRPOSplitBatch: prompt forward once per prompt,
+    completion chunk per row over mha_shared_prefix) must match the full
+    concatenated-rows path: positions, loss, metrics, AND gradients."""
+    from time_r1_tpu.rl import build_grpo_batch_groups
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    G = 3
+    hp = GRPOHyperParams(num_generations=G, beta=beta, use_grpo=False, fix_vit=with_video)
+    groups = _mk_groups(with_video, G=G)
+    full = build_grpo_batch_groups(CFG, groups, dtype=jnp.float32)
+    split = build_grpo_split_batch(CFG, groups, dtype=jnp.float32)
+
+    # position parity: each row's completion positions in the full layout
+    # must equal the split chunk's positions
+    full_pos = np.asarray(full.position_ids)
+    attn = np.asarray(full.attention_mask)
+    comp = np.asarray(full.completion_mask)
+    ri = 0
+    for g in groups:
+        for c in g["completions"]:
+            Lpr = len(g["prompt_ids"])
+            start_col = int(np.argmax(attn[ri] == 1)) + Lpr
+            want = full_pos[:, ri, start_col : start_col + len(c)]
+            got = np.asarray(split.comp_pos)[:, ri, : len(c)]
+            np.testing.assert_array_equal(got, want)
+            ri += 1
+    del comp
+
+    if beta != 0.0:
+        full = full._replace(ref_logps=compute_ref_logps(params, CFG, hp, full))
+        split = split._replace(ref_logps=compute_ref_logps(params, CFG, hp, split))
+
+    (l_f, m_f), g_f = jax.value_and_grad(
+        lambda p: grpo_loss(p, CFG, hp, full), has_aux=True
+    )(params)
+    (l_s, m_s), g_s = jax.value_and_grad(
+        lambda p: grpo_loss(p, CFG, hp, split), has_aux=True
+    )(params)
+    np.testing.assert_allclose(float(l_s), float(l_f), rtol=2e-5, atol=2e-6)
+    for k in m_f:
+        np.testing.assert_allclose(float(m_s[k]), float(m_f[k]), rtol=2e-4, atol=2e-5)
+    flat_f = jax.tree.leaves(g_f)
+    flat_s = jax.tree.leaves(g_s)
+    for a, b in zip(flat_s, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)

@@ -138,3 +138,10 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     vbatch = build_grpo_batch_groups(CFG, vgroups, pad_to=64, dtype=jnp.float32)
     vwant, _ = grpo_loss(params, CFG, hp, vbatch)
     assert vlosses[0] == pytest.approx(float(vwant), rel=1e-4)
+
+    # shared-prefix (split) layout across processes agrees with the same
+    # single-process full-row oracle (the split loss == full loss is pinned
+    # separately in test_grpo.py)
+    slosses = [r["split_vision_loss"] for r in results]
+    assert slosses[0] == pytest.approx(slosses[1], rel=1e-6)
+    assert slosses[0] == pytest.approx(float(vwant), rel=1e-4)

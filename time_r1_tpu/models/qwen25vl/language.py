@@ -374,9 +374,10 @@ def shared_decode_forward(
     hidden: jnp.ndarray,  # (B, S, hidden) — B = P·R rollout rows, row-major by prompt
     position_ids: jnp.ndarray,  # (3, B, S)
     prefix: KVCache,  # (L, P, Lp, Hkv, hd) — ONE prompt-prefix copy per prompt
-    suffix: KVCache,  # (L, B, max_new, Hkv, hd) — per-row generated tokens
+    suffix: Optional[KVCache],  # (L, B, max_new, Hkv, hd) per-row generated tokens
     prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive (0 valid / NEG_INF pad)
-) -> tuple[jnp.ndarray, KVCache]:
+    remat: bool = False,  # jax.checkpoint per layer (GRPO loss-forward path)
+) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Decode step with the prompt KV shared across rollout rows (GRPO G-way
     decode / grouped serving). Attention per layer covers [shared prefix |
     own suffix | current chunk] with one combined softmax
@@ -388,19 +389,28 @@ def shared_decode_forward(
     traffic per decode step and ~8× less cache memory.
 
     prefix.length is unused (prefix_bias masks pad slots); suffix.length
-    counts generated tokens and must be uniform across rows."""
+    counts generated tokens and must be uniform across rows.
+
+    suffix=None: the GRPO loss-forward shape — the whole completion is one
+    causal S-token chunk attending [shared prefix | itself]; no suffix cache
+    exists and none is returned. Differentiable end-to-end: the backward
+    accumulates each prompt's prefix gradient across its R rows (the whole
+    point — the prompt forward runs once per prompt, not once per row)."""
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
-    quant = suffix.k.dtype == jnp.int8
+    quant = suffix is not None and suffix.k.dtype == jnp.int8
     cos, sin = mrope_cos_sin(cfg, position_ids)
     cos_b = cos[:, :, None, :]
     sin_b = sin[:, :, None, :]
 
     bias_pref = prefix_bias[:, None, None, :]  # (P, 1, 1, Lp) → broadcasts over S
-    Lo = suffix.k.shape[2]
-    own_valid = jnp.arange(Lo)[None, :] < suffix.length
-    bias_own = jnp.where(own_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+    if suffix is not None:
+        Lo = suffix.k.shape[2]
+        own_valid = jnp.arange(Lo)[None, :] < suffix.length
+        bias_own = jnp.where(own_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+    else:
+        bias_own = None
     i_pos = jnp.arange(S)[:, None]
     j_pos = jnp.arange(S)[None, :]
     bias_new = jnp.where(j_pos <= i_pos, 0.0, NEG_INF).astype(jnp.float32)[None, None]
@@ -411,9 +421,12 @@ def shared_decode_forward(
     def layer(x, scanned):
         if quant:
             lp, kp, vp, kps, vps, ko, vo, kos, vos = scanned
-        else:
+        elif suffix is not None:
             lp, kp, vp, ko, vo = scanned
             kps = vps = kos = vos = None
+        else:
+            lp, kp, vp = scanned
+            ko = vo = kps = vps = kos = vos = None
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
         q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
@@ -430,15 +443,21 @@ def shared_decode_forward(
             k8, ks = quantize_kv(k)
             v8, vs = quantize_kv(v)
             return x, (k8, ks, v8, vs)
+        if suffix is None:
+            return x, None
         return x, (k, v)
 
+    layer_fn = jax.checkpoint(layer) if remat else layer
     layers = params["layers"]
-    if quant:
+    if suffix is None:
+        hidden, _ = jax.lax.scan(layer_fn, hidden, (layers, prefix.k, prefix.v))
+        new_suffix = None
+    elif quant:
         xs = (
             layers, prefix.k, prefix.v, prefix.k_scale, prefix.v_scale,
             suffix.k, suffix.v, suffix.k_scale, suffix.v_scale,
         )
-        hidden, (k8s, kss, v8s, vss) = jax.lax.scan(layer, hidden, xs)
+        hidden, (k8s, kss, v8s, vss) = jax.lax.scan(layer_fn, hidden, xs)
         at = (0, 0, suffix.length, 0, 0)
         new_suffix = KVCache(
             k=jax.lax.dynamic_update_slice(suffix.k, k8s, at),
@@ -449,7 +468,7 @@ def shared_decode_forward(
         )
     else:
         xs = (layers, prefix.k, prefix.v, suffix.k, suffix.v)
-        hidden, (ks, vs) = jax.lax.scan(layer, hidden, xs)
+        hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, xs)
         new_suffix = KVCache(
             k=jax.lax.dynamic_update_slice(
                 suffix.k, ks.astype(suffix.k.dtype), (0, 0, suffix.length, 0, 0)

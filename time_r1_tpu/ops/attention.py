@@ -104,8 +104,8 @@ def mha_shared_prefix(
     v_pref: jnp.ndarray,
     ks_pref: Optional[jnp.ndarray],  # (P, Lp, Hkv) f32 scales when the prefix is int8
     vs_pref: Optional[jnp.ndarray],
-    k_own: jnp.ndarray,  # (B, Lo, Hkv, D) — per-row generated-suffix cache
-    v_own: jnp.ndarray,
+    k_own: Optional[jnp.ndarray],  # (B, Lo, Hkv, D) per-row suffix cache; None → no suffix
+    v_own: Optional[jnp.ndarray],
     ks_own: Optional[jnp.ndarray],  # (B, Lo, Hkv) f32 scales when the suffix is int8
     vs_own: Optional[jnp.ndarray],
     k_new: jnp.ndarray,  # (B, S, Hkv, D) — UNQUANTIZED current chunk
@@ -123,7 +123,12 @@ def mha_shared_prefix(
     stream (and the cache HBM footprint) by ~G× over replicating the prefix
     per row (vLLM gets the same effect from shared prefix pages;
     vllm_infer.py:48-57 capability class). int8 prefix/suffix scales fold on
-    the score/prob axes exactly as in mha_cached_q8."""
+    the score/prob axes exactly as in mha_cached_q8.
+
+    k_own=None drops the suffix source entirely — the GRPO loss-forward shape,
+    where the whole completion is one causal chunk over the shared prompt
+    prefix. Fully differentiable (plain jnp): the backward accumulates each
+    prefix's gradient across its R rows."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, S, H, D = q.shape
@@ -145,26 +150,29 @@ def mha_shared_prefix(
     lp = lp + _bias_grouped(bp, H, Hkv)
 
     qg = q.reshape(B, S, Hkv, G, D)
-    lo = jnp.einsum(
-        "bshgd,bkhd->bhgsk", qg, k_own.astype(q.dtype), preferred_element_type=jnp.float32
-    ) * scale
-    if ks_own is not None:
-        lo = lo * jnp.moveaxis(ks_own, 1, -1)[:, :, None, None, :]
-    lo = lo + _bias_grouped(bias_own, H, Hkv)
+    if k_own is not None:
+        lo = jnp.einsum(
+            "bshgd,bkhd->bhgsk", qg, k_own.astype(q.dtype), preferred_element_type=jnp.float32
+        ) * scale
+        if ks_own is not None:
+            lo = lo * jnp.moveaxis(ks_own, 1, -1)[:, :, None, None, :]
+        lo = lo + _bias_grouped(bias_own, H, Hkv)
     ln = jnp.einsum(
         "bshgd,bkhd->bhgsk", qg, k_new, preferred_element_type=jnp.float32
     ) * scale
     ln = ln + _bias_grouped(bias_new, H, Hkv)
 
-    m = jnp.maximum(
-        jnp.max(lp, axis=-1), jnp.maximum(jnp.max(lo, axis=-1), jnp.max(ln, axis=-1))
-    )  # (B, Hkv, G, S)
+    m = jnp.maximum(jnp.max(lp, axis=-1), jnp.max(ln, axis=-1))  # (B, Hkv, G, S)
+    if k_own is not None:
+        m = jnp.maximum(m, jnp.max(lo, axis=-1))
     pp = jnp.exp(lp - m[..., None])
-    po = jnp.exp(lo - m[..., None])
     pn = jnp.exp(ln - m[..., None])
-    denom = jnp.sum(pp, axis=-1) + jnp.sum(po, axis=-1) + jnp.sum(pn, axis=-1)
+    denom = jnp.sum(pp, axis=-1) + jnp.sum(pn, axis=-1)
+    if k_own is not None:
+        po = jnp.exp(lo - m[..., None])
+        denom = denom + jnp.sum(po, axis=-1)
+        po = po / denom[..., None]
     pp = pp / denom[..., None]
-    po = po / denom[..., None]
     pn = pn / denom[..., None]
     if vs_pref is not None:
         ppr = pp.reshape(P, R, Hkv, G, S, Lp) * jnp.moveaxis(vs_pref, 1, -1)[
@@ -175,11 +183,12 @@ def mha_shared_prefix(
     out = jnp.einsum(
         "prhgsk,pkhd->prshgd", ppr.astype(q.dtype), v_pref.astype(q.dtype)
     ).reshape(B, S, H, D)
-    if vs_own is not None:
-        po = po * jnp.moveaxis(vs_own, 1, -1)[:, :, None, None, :]
-    out = out + jnp.einsum(
-        "bhgsk,bkhd->bshgd", po.astype(q.dtype), v_own.astype(q.dtype)
-    ).reshape(B, S, H, D)
+    if k_own is not None:
+        if vs_own is not None:
+            po = po * jnp.moveaxis(vs_own, 1, -1)[:, :, None, None, :]
+        out = out + jnp.einsum(
+            "bhgsk,bkhd->bshgd", po.astype(q.dtype), v_own.astype(q.dtype)
+        ).reshape(B, S, H, D)
     out = out + jnp.einsum(
         "bhgsk,bkhd->bshgd", pn.astype(v_new.dtype), v_new
     ).reshape(B, S, H, D)

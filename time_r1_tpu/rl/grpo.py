@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.qwen25vl import Qwen25VLConfig, VisionInputs
-from ..models.qwen25vl.language import decoder_forward
+from ..models.qwen25vl.language import KVCache, decoder_forward, shared_decode_forward
 from ..models.qwen25vl.model import merge_vision_embeddings
 from ..models.qwen25vl.vision import vision_forward
 
@@ -58,6 +58,27 @@ class GRPOBatch(NamedTuple):
     # point at the same feature span, so the ViT runs once per unique video
     # (the reference reruns it over every B·G row, timer1_trainer.py:601-607)
     feat_offsets: Optional[jnp.ndarray] = None
+
+
+class GRPOSplitBatch(NamedTuple):
+    """Shared-prefix train batch: prompts and completions SPLIT so the loss
+    forward runs each prompt ONCE (P rows) and only the completion chunk per
+    rollout row (B = P·G rows, row-major by prompt). The completion chunk
+    attends [shared prompt prefix | itself, causal] via mha_shared_prefix —
+    mathematically identical to the full concatenated rows, at ~(Lp+Lc)/Lc×
+    fewer decoder FLOPs per row (the reference runs every B·G row over the
+    full prompt+completion length, timer1_trainer.py:568-607)."""
+
+    prompt_ids: jnp.ndarray  # (P, Lp) LEFT-padded (last real token at Lp-1)
+    prompt_pos: jnp.ndarray  # (3, P, Lp)
+    prompt_mask: jnp.ndarray  # (P, Lp) 1 for real prompt tokens
+    comp_ids: jnp.ndarray  # (B, Lc) RIGHT-padded completion tokens
+    comp_pos: jnp.ndarray  # (3, B, Lc)
+    comp_mask: jnp.ndarray  # (B, Lc) 1 up to & incl first EOS (the loss mask)
+    advantages: jnp.ndarray  # (B,)
+    vision: Optional[VisionInputs]  # UNIQUE videos' patches (one copy per video)
+    ref_logps: Optional[jnp.ndarray]  # (B, Lc) or None when beta == 0
+    feat_offsets: Optional[jnp.ndarray] = None  # (P,) feature-row start per prompt
 
 
 def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.ndarray:
@@ -95,6 +116,52 @@ def _hidden_states(
     return hidden
 
 
+def _split_logps_entropy(
+    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOSplitBatch,
+    remat: bool = False, fix_vit: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared-prefix forward → per-token (logps, entropy), both (B, Lc) fp32.
+
+    Prompt rows run ONCE per prompt through the cached decoder prefill
+    (vision merged on the P rows, flash kernel on TPU), yielding the prompt
+    KV prefix; completion rows run as one causal chunk attending the shared
+    prefix. Completion token 0 is predicted by the LAST prompt token's hidden
+    state (column Lp-1 — prompts are left-padded), identical for the G rows
+    of a group; token t≥1 by the chunk's position t-1. Gradients flow through
+    the shared prefix once per prompt and accumulate across its rows."""
+    from ..models.qwen25vl.language import NEG_INF
+
+    text = params["text"]
+    embeds = jnp.take(text["embed_tokens"]["embedding"], batch.prompt_ids, axis=0)
+    if batch.vision is not None:
+        v = batch.vision
+        feats = vision_forward(
+            params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
+            v.key_valid, v.full_gather, v.full_inverse, v.reverse,
+            freeze_blocks=fix_vit,
+        )
+        embeds = merge_vision_embeddings(
+            embeds, batch.prompt_ids, feats, (cfg.video_token_id, cfg.image_token_id),
+            feature_offset=batch.feat_offsets if batch.feat_offsets is not None else 0,
+        )
+    P, Lp, _ = embeds.shape
+    B, Lc = batch.comp_ids.shape
+    G = B // P
+    cache = KVCache.zeros(cfg.text, P, Lp, dtype=embeds.dtype)
+    hidden_p, prefix = decoder_forward(
+        text, cfg.text, embeds, batch.prompt_pos,
+        attention_mask=batch.prompt_mask, cache=cache, flash_q_offset=0, remat=remat,
+    )
+    embeds_c = jnp.take(text["embed_tokens"]["embedding"], batch.comp_ids, axis=0)
+    prefix_bias = jnp.where(batch.prompt_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+    hidden_c, _ = shared_decode_forward(
+        text, cfg.text, embeds_c, batch.comp_pos, prefix, None, prefix_bias, remat=remat,
+    )
+    h_last = jnp.repeat(hidden_p[:, -1:], G, axis=0)  # (B, 1, H) — shared within a group
+    h_pred = jnp.concatenate([h_last, hidden_c[:, :-1]], axis=1)  # (B, Lc, H)
+    return per_token_logps_entropy(params, cfg, h_pred, batch.comp_ids, hp.logp_chunk)
+
+
 def per_token_logps_entropy(
     params, cfg: Qwen25VLConfig, hidden: jnp.ndarray, targets: jnp.ndarray, chunk: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,14 +194,21 @@ def per_token_logps_entropy(
         ent = logz - jnp.sum(p * logits, axis=-1)
         return None, (logp, ent)
 
-    _, (logps, ents) = jax.lax.scan(step, None, (hp, tp))
+    # rematerialize each chunk's logits in the backward: the scan would
+    # otherwise SAVE the (B, chunk, V) fp32 probs of every chunk as residuals
+    # (~10 GB at the 3B × 8-row × 2k recipe shape) — recomputing is one extra
+    # (B·chunk, H)×(H, V) matmul per chunk
+    _, (logps, ents) = jax.lax.scan(jax.checkpoint(step), None, (hp, tp))
     logps = logps.swapaxes(0, 1).reshape(B, Tm1 + pad)[:, :Tm1]
     ents = ents.swapaxes(0, 1).reshape(B, Tm1 + pad)[:, :Tm1]
     return logps, ents
 
 
-def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOBatch) -> jnp.ndarray:
+def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch) -> jnp.ndarray:
     """Per-token logps under reference weights (no grad)."""
+    if isinstance(batch, GRPOSplitBatch):
+        logps, _ = _split_logps_entropy(params, cfg, hp, batch)
+        return logps
     hidden = _hidden_states(params, cfg, batch)
     logps, _ = per_token_logps_entropy(
         params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
@@ -143,17 +217,27 @@ def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: G
 
 
 def grpo_loss(
-    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOBatch
+    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch
 ) -> tuple[jnp.ndarray, dict]:
-    """Loss + metrics for one batch. Differentiable in `params`."""
-    hidden = _hidden_states(
-        params, cfg, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
-    )
-    logps, entropy = per_token_logps_entropy(
-        params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
-    )
-    # masks aligned with the shifted token axis (token t predicted at t-1)
-    comp_mask = batch.completion_mask[:, 1:].astype(jnp.float32)
+    """Loss + metrics for one batch (GRPOBatch full rows, or GRPOSplitBatch
+    via the shared-prefix forward). Differentiable in `params`."""
+    if isinstance(batch, GRPOSplitBatch):
+        logps, entropy = _split_logps_entropy(
+            params, cfg, hp, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
+        )
+        # every chunk position IS a completion-predicting position: no shift
+        comp_mask = batch.comp_mask.astype(jnp.float32)
+        comp_len = batch.comp_mask.sum(axis=1).astype(jnp.float32)
+    else:
+        hidden = _hidden_states(
+            params, cfg, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
+        )
+        logps, entropy = per_token_logps_entropy(
+            params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
+        )
+        # masks aligned with the shifted token axis (token t predicted at t-1)
+        comp_mask = batch.completion_mask[:, 1:].astype(jnp.float32)
+        comp_len = batch.completion_mask.sum(axis=1).astype(jnp.float32)
     adv = batch.advantages[:, None].astype(jnp.float32)
 
     coef_1 = jnp.exp(logps - jax.lax.stop_gradient(logps))
@@ -190,7 +274,7 @@ def grpo_loss(
 
     if per_token_kl is not None:
         metrics["kl"] = jnp.mean(jnp.sum(per_token_kl * comp_mask, axis=1) / denom_seq)
-    metrics["completion_length"] = jnp.mean(batch.completion_mask.sum(axis=1).astype(jnp.float32))
+    metrics["completion_length"] = jnp.mean(comp_len)
     metrics["generation_entropy"] = jnp.mean(jnp.sum(entropy * comp_mask, axis=1) / denom_seq)
     return loss, metrics
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.qwen25vl import Qwen25VLConfig, VisionInputs, get_rope_index, prepare_vision_inputs
-from .grpo import GRPOBatch
+from .grpo import GRPOBatch, GRPOSplitBatch
 
 
 def _bucket(n: int, minimum: int = 128) -> int:
@@ -151,6 +151,96 @@ def build_grpo_batch_groups(
         attention_mask=jnp.asarray(attn),
         completion_mask=jnp.asarray(comp_mask),
         advantages=jnp.asarray(advantages, jnp.float32),
+        vision=vis,
+        ref_logps=None,
+        feat_offsets=feat_offsets,
+    )
+
+
+def build_grpo_split_batch(
+    cfg: Qwen25VLConfig,
+    groups: Sequence[dict],
+    dtype=jnp.bfloat16,
+) -> GRPOSplitBatch:
+    """Shared-prefix train batch: prompts (P, Lp) and completions (B, Lc)
+    SPLIT, so the loss forward runs each prompt once and only the completion
+    chunk per rollout row (grpo.GRPOSplitBatch). Same group-dict surface as
+    build_grpo_batch_groups; requires a uniform G across groups (the GRPO
+    shape — num_generations is one hyperparameter).
+
+    Completion positions continue the prompt's M-RoPE: completions are plain
+    text, so all three axes advance by 1 per token from (max valid prompt
+    position + 1) — exactly what get_rope_index yields on the concatenated
+    row (oracle-tested in tests/test_grpo.py)."""
+    P_groups = len(groups)
+    assert P_groups >= 1
+    G = len(groups[0]["completions"])
+    assert all(len(g["completions"]) == G for g in groups), "uniform G required"
+    Lp = _bucket(max(len(g["prompt_ids"]) for g in groups))
+    Lc = _bucket(max(max((len(c) for c in g["completions"]), default=1) for g in groups))
+
+    ids_p = np.full((P_groups, Lp), cfg.pad_token_id, np.int64)
+    mask_p = np.zeros((P_groups, Lp), np.int64)
+    grids, spgs, patch_list, feat_starts = [], [], [], []
+    feat_cursor = 0
+    comp_rows, comp_mask_rows, advs = [], [], []
+    for gi, g in enumerate(groups):
+        pids = list(g["prompt_ids"])
+        ids_p[gi, Lp - len(pids):] = pids  # LEFT-pad: last real token at Lp-1
+        mask_p[gi, Lp - len(pids):] = 1
+        if g.get("grid_thw") is not None:
+            grid = tuple(int(x) for x in g["grid_thw"])
+            grids.append(grid)
+            spgs.append(float(g.get("second_per_grid_t", 1.0)))
+            patch_list.append(g["patches"])
+            feat_starts.append(feat_cursor)
+            feat_cursor += (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
+        for comp in g["completions"]:
+            row = np.full((Lc,), cfg.pad_token_id, np.int64)
+            cmask = np.zeros((Lc,), np.int64)
+            L = len(comp)
+            row[:L] = comp  # RIGHT-pad: causal masking keeps pads invisible
+            eos_pos = next((i for i, t in enumerate(comp) if t == cfg.eos_token_id), None)
+            span = L if eos_pos is None else eos_pos + 1
+            cmask[:span] = 1
+            comp_rows.append(row)
+            comp_mask_rows.append(cmask)
+        advs.append(np.asarray(g["advantages"], np.float32))
+
+    pos_p, _ = get_rope_index(
+        cfg,
+        ids_p,
+        video_grid_thw=np.array(grids, np.int64) if grids else None,
+        second_per_grid_ts=spgs if spgs else None,
+        attention_mask=mask_p,
+    )
+    pos_p = np.asarray(pos_p)
+    starts = np.zeros((P_groups,), np.int64)
+    for gi in range(P_groups):
+        starts[gi] = pos_p[:, gi, mask_p[gi] == 1].max() + 1
+    B = P_groups * G
+    comp_pos = np.broadcast_to(
+        (np.repeat(starts, G)[None, :, None] + np.arange(Lc)[None, None, :]),
+        (3, B, Lc),
+    ).astype(np.int64)
+
+    vis, feat_offsets = None, None
+    if patch_list:
+        patches = np.concatenate(patch_list, axis=0)  # group-major feature order
+        unit = cfg.vision.merge_unit
+        pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
+        prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)
+        vis = VisionInputs.build(prep, jnp.asarray(patches, dtype))
+        feat_offsets = jnp.asarray(np.array(feat_starts, np.int32))
+
+    return GRPOSplitBatch(
+        prompt_ids=jnp.asarray(ids_p),
+        prompt_pos=jnp.asarray(pos_p),
+        prompt_mask=jnp.asarray(mask_p),
+        comp_ids=jnp.asarray(np.stack(comp_rows)),
+        comp_pos=jnp.asarray(comp_pos),
+        comp_mask=jnp.asarray(np.stack(comp_mask_rows)),
+        advantages=jnp.asarray(np.concatenate(advs), jnp.float32),
         vision=vis,
         ref_logps=None,
         feat_offsets=feat_offsets,

@@ -36,7 +36,7 @@ from .grpo import (
     make_lora_train_step,
     make_train_step,
 )
-from .rollout import build_grpo_batch_groups
+from .rollout import build_grpo_batch_groups, build_grpo_split_batch
 
 SYSTEM_PROMPT = "You are a video analysis expert."
 
@@ -105,6 +105,11 @@ class TrainConfig:
     # ~1.7× faster decode on v5e; logps for the loss are recomputed in full
     # precision (the reference's vLLM rollouts don't bit-match its trainer either)
     rollout_quantization: str = ""
+    # shared-prefix loss forward (GRPOSplitBatch): the prompt runs ONCE per
+    # prompt and only the completion chunk runs per rollout row — ~(Lp+Lc)/Lc×
+    # fewer loss-forward FLOPs at recipe shapes; bit-matches the full-row path
+    # (tests/test_grpo.py::test_split_batch_loss_matches_full_rows)
+    shared_prefix_loss: bool = True
     prompt_type: str = "v1"
     total_pixels: int = 3584 * 28 * 28
     min_pixels: int = 16 * 28 * 28
@@ -430,7 +435,10 @@ class GRPOTrainer:
         self._log_metric("reward_std", rewards_all.reshape(-1, G).std(axis=1, ddof=1).mean())
 
         # assemble batch + ref logps + update
-        batch = build_grpo_batch_groups(self.cfg, groups, dtype=self.dtype)
+        if c.shared_prefix_loss:
+            batch = build_grpo_split_batch(self.cfg, groups, dtype=self.dtype)
+        else:
+            batch = build_grpo_batch_groups(self.cfg, groups, dtype=self.dtype)
         if self.mesh is not None:
             batch = self._shard_batch(
                 batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
@@ -470,7 +478,10 @@ class GRPOTrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.mesh import DATA_AXIS
+        from .grpo import GRPOSplitBatch
 
+        if isinstance(batch, GRPOSplitBatch):
+            return self._shard_split_batch(batch, vis_grids)
         rows = NamedSharding(self.mesh, P(DATA_AXIS))
         pos_rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
         if jax.process_count() > 1:
@@ -501,6 +512,106 @@ class GRPOTrainer:
             position_ids=jax.device_put(batch.position_ids, pos_rows),
             feat_offsets=(
                 jax.device_put(batch.feat_offsets, rows)
+                if batch.feat_offsets is not None
+                else None
+            ),
+        )
+
+    def _shard_split_batch(self, batch, vis_grids=None):
+        """Sharding for the shared-prefix (GRPOSplitBatch) layout.
+
+        Completion rows (B = P·G) shard over the data axis exactly like the
+        full-row layout. Prompt rows (P) shard over data when P divides the
+        axis; otherwise they REPLICATE — each device then runs the (short)
+        prompt prefill redundantly, which is never slower than the full-row
+        layout where every device ran its rows over the whole prompt anyway.
+        Multi-process: completion rows assemble globally per process
+        (`make_array_from_process_local_data`); prompt rows host-allgather in
+        process order and replicate (group i's comp rows index prefix i via
+        the row-major reshape, so prompt order must match the comp-row
+        concatenation order — it does, both are process-major)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        rows = NamedSharding(self.mesh, P(DATA_AXIS))
+        pos_rows = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            def glob(x, sh):
+                return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+            # common bucket widths (power-of-2 buckets usually agree; re-pad
+            # when they don't — different processes saw different lengths)
+            Lp = int(np.asarray(multihost_utils.process_allgather(
+                np.array([batch.prompt_ids.shape[1]], np.int64))).max())
+            Lc = int(np.asarray(multihost_utils.process_allgather(
+                np.array([batch.comp_ids.shape[1]], np.int64))).max())
+            pid, pmask = np.asarray(batch.prompt_ids), np.asarray(batch.prompt_mask)
+            ppos = np.asarray(batch.prompt_pos)
+            dp = Lp - pid.shape[1]
+            if dp:  # grow the LEFT pad (prompts stay ending at column Lp-1)
+                pid = np.pad(pid, ((0, 0), (dp, 0)), constant_values=self.cfg.pad_token_id)
+                pmask = np.pad(pmask, ((0, 0), (dp, 0)))
+                ppos = np.pad(ppos, ((0, 0), (0, 0), (dp, 0)))
+            cid, cmask = np.asarray(batch.comp_ids), np.asarray(batch.comp_mask)
+            cpos = np.asarray(batch.comp_pos)
+            dc = Lc - cid.shape[1]
+            if dc:  # grow the RIGHT pad; positions keep advancing
+                cid = np.pad(cid, ((0, 0), (0, dc)), constant_values=self.cfg.pad_token_id)
+                cmask = np.pad(cmask, ((0, 0), (0, dc)))
+                cpos = np.concatenate(
+                    [cpos, cpos[:, :, -1:] + np.arange(1, dc + 1)[None, None, :]], axis=2
+                )
+
+            vision, feat_offsets = batch.vision, batch.feat_offsets
+            if vision is not None:
+                vision, feat_offsets = self._global_vision(batch, vis_grids)
+
+            # prompts: host-allgather the local P rows in process order
+            def allg_rows(x):  # (P_local, ...) → (P_global, ...)
+                g = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+                return g.reshape((-1,) + g.shape[2:])
+
+            pid_g, pmask_g = allg_rows(pid), allg_rows(pmask)
+            ppos_g = np.concatenate(
+                list(np.asarray(multihost_utils.process_allgather(ppos))), axis=1
+            )
+            fo_g = allg_rows(np.asarray(feat_offsets)) if feat_offsets is not None else None
+
+            def repl(x):
+                return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+            return batch._replace(
+                prompt_ids=repl(pid_g),
+                prompt_mask=repl(pmask_g),
+                prompt_pos=repl(ppos_g),
+                comp_ids=glob(cid, rows),
+                comp_mask=glob(cmask, rows),
+                comp_pos=glob(cpos, pos_rows),
+                advantages=glob(batch.advantages, rows),
+                vision=vision,
+                feat_offsets=repl(fo_g) if fo_g is not None else None,
+            )
+
+        n_data = self.mesh.shape[DATA_AXIS]
+        if batch.comp_ids.shape[0] % n_data != 0:
+            return batch  # B not divisible by the data axis: replicate
+        p_ok = batch.prompt_ids.shape[0] % n_data == 0
+        p_rows = rows if p_ok else rep
+        p_pos = pos_rows if p_ok else rep
+        return batch._replace(
+            prompt_ids=jax.device_put(batch.prompt_ids, p_rows),
+            prompt_mask=jax.device_put(batch.prompt_mask, p_rows),
+            prompt_pos=jax.device_put(batch.prompt_pos, p_pos),
+            comp_ids=jax.device_put(batch.comp_ids, rows),
+            comp_mask=jax.device_put(batch.comp_mask, rows),
+            comp_pos=jax.device_put(batch.comp_pos, pos_rows),
+            advantages=jax.device_put(batch.advantages, rows),
+            feat_offsets=(
+                jax.device_put(batch.feat_offsets, p_rows)
                 if batch.feat_offsets is not None
                 else None
             ),
