@@ -99,11 +99,15 @@ def _hidden_states(
         v = batch.vision
         # fix_vit: stop gradients at the ViT blocks so the backward pass
         # skips them entirely (the optimizer zeroes those grads anyway;
-        # the merger stays differentiable — timer1_trainer.py:272-288)
+        # the merger stays differentiable — timer1_trainer.py:272-288).
+        # Frozen blocks need no VJP, so on TPU they also ride the fused
+        # Pallas window-attention kernel (ops/vision_attention.py) — the
+        # same ~20% vision-tower cut the serving path gets.
         feats = vision_forward(
             params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
             v.key_valid, v.full_gather, v.full_inverse, v.reverse,
             freeze_blocks=fix_vit,
+            use_window_kernel=fix_vit and jax.default_backend() == "tpu",
         )
         embeds = merge_vision_embeddings(
             embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id),
@@ -139,6 +143,7 @@ def _split_logps_entropy(
             params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
             v.key_valid, v.full_gather, v.full_inverse, v.reverse,
             freeze_blocks=fix_vit,
+            use_window_kernel=fix_vit and jax.default_backend() == "tpu",
         )
         embeds = merge_vision_embeddings(
             embeds, batch.prompt_ids, feats, (cfg.video_token_id, cfg.image_token_id),
@@ -206,10 +211,12 @@ def per_token_logps_entropy(
 
 def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch) -> jnp.ndarray:
     """Per-token logps under reference weights (no grad)."""
+    # fix_vit passed through for numeric symmetry with the policy forward
+    # (same vision kernel choice → the KL sees identical vision features)
     if isinstance(batch, GRPOSplitBatch):
-        logps, _ = _split_logps_entropy(params, cfg, hp, batch)
+        logps, _ = _split_logps_entropy(params, cfg, hp, batch, fix_vit=hp.fix_vit)
         return logps
-    hidden = _hidden_states(params, cfg, batch)
+    hidden = _hidden_states(params, cfg, batch, fix_vit=hp.fix_vit)
     logps, _ = per_token_logps_entropy(
         params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
     )

@@ -25,6 +25,17 @@ def _bucket(n: int, minimum: int = 128) -> int:
     return b
 
 
+def _bucket256(n: int) -> int:
+    """256-granular bucket (min 128): the shared-prefix prompt rows pay the
+    padded length in the prefill AND in every chunk-attention key pass, so
+    the finer ladder is worth the extra compiled shapes (the recipes' 1792-
+    token video prompt buckets to 1792, not 2048 — 12% less prefix work;
+    shapes persist in the compilation cache)."""
+    if n <= 128:
+        return 128
+    return ((n + 255) // 256) * 256
+
+
 def build_grpo_batch(
     cfg: Qwen25VLConfig,
     prompt_ids: Sequence[int],
@@ -176,7 +187,7 @@ def build_grpo_split_batch(
     assert P_groups >= 1
     G = len(groups[0]["completions"])
     assert all(len(g["completions"]) == G for g in groups), "uniform G required"
-    Lp = _bucket(max(len(g["prompt_ids"]) for g in groups))
+    Lp = _bucket256(max(len(g["prompt_ids"]) for g in groups))
     Lc = _bucket(max(max((len(c) for c in g["completions"]), default=1) for g in groups))
 
     ids_p = np.full((P_groups, Lp), cfg.pad_token_id, np.int64)
