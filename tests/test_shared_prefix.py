@@ -143,3 +143,55 @@ def test_group_greedy_matches_single_request(jx_params):  # noqa: F811
     group = eng.generate([Request(input_ids=p)], spg)
     for row in group:
         assert row == single
+
+
+def test_shared_decode_flash_chunk_matches_einsum():
+    """The suffix=None (GRPO loss) chunk attention has a flash path: q_offset
+    = Lp over a per-layer [broadcast prefix | chunk] concat. Interpret-mode
+    kernel must match the einsum path — outputs AND parameter grads (the
+    prefix gradient sums over each prompt's R rows through the concat VJP)."""
+    from time_r1_tpu.models.qwen25vl.config import TextConfig
+    from time_r1_tpu.models.qwen25vl.language import (
+        NEG_INF as NI,
+        init_text_params,
+        shared_decode_forward,
+    )
+
+    cfg = TextConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        mrope_section=(8, 12, 12),
+    )
+    assert cfg.head_dim == 64
+    params = init_text_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    P, R, Lp, S = 2, 2, 128, 128
+    B = P * R
+    prefix = KVCache(
+        k=jnp.asarray(rng.normal(size=(2, P, Lp, 1, 64)), jnp.float32),
+        v=jnp.asarray(rng.normal(size=(2, P, Lp, 1, 64)), jnp.float32),
+        length=jnp.asarray(Lp, jnp.int32),
+    )
+    # prompt 0 left-padded by 17 slots
+    prefix_bias = jnp.where(
+        jnp.arange(Lp)[None, :] >= jnp.array([[17], [0]]), 0.0, NI
+    ).astype(jnp.float32)
+    hidden = jnp.asarray(rng.normal(size=(B, S, 128)) * 0.1, jnp.float32)
+    pos = jnp.broadcast_to(Lp + jnp.arange(S)[None, None, :], (3, B, S))
+
+    def run(use_flash):
+        def f(p, h):
+            out, _ = shared_decode_forward(
+                p, cfg, h, pos, prefix, None, prefix_bias, use_flash=use_flash
+            )
+            return jnp.sum(out * out), out
+
+        (loss, out), grads = jax.value_and_grad(f, has_aux=True)(params, hidden)
+        return loss, out, grads
+
+    l_e, o_e, g_e = run(False)
+    l_f, o_f, g_f = run(True)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_e), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(float(l_f), float(l_e), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_e)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)

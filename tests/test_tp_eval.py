@@ -51,6 +51,16 @@ def test_tp2_engine_greedy_matches_unsharded():
     got = Engine(sharded, CFG, dtype=jnp.float32).generate(reqs, sp)
     assert got == want
 
+    # G-way grouped rollout under TP: the shared-prefix decode reshapes the
+    # head axis (H → Hkv×G) with heads TP-sharded — must match unsharded
+    spg = SamplingParams(
+        temperature=0.0, max_new_tokens=6, stop_token_ids=CFG.stop_token_ids,
+        num_return_sequences=3,
+    )
+    want_g = Engine(params, CFG, dtype=jnp.float32).generate([reqs[1]], spg)
+    got_g = Engine(sharded, CFG, dtype=jnp.float32).generate([reqs[1]], spg)
+    assert got_g == want_g
+
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs ≥2 virtual devices")
 def test_tp2_train_step_runs():

@@ -377,6 +377,7 @@ def shared_decode_forward(
     suffix: Optional[KVCache],  # (L, B, max_new, Hkv, hd) per-row generated tokens
     prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive (0 valid / NEG_INF pad)
     remat: bool = False,  # jax.checkpoint per layer (GRPO loss-forward path)
+    use_flash: Optional[bool] = None,  # force/deny the flash chunk path (tests)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Decode step with the prompt KV shared across rollout rows (GRPO G-way
     decode / grouped serving). Attention per layer covers [shared prefix |
@@ -395,7 +396,11 @@ def shared_decode_forward(
     causal S-token chunk attending [shared prefix | itself]; no suffix cache
     exists and none is returned. Differentiable end-to-end: the backward
     accumulates each prompt's prefix gradient across its R rows (the whole
-    point — the prompt forward runs once per prompt, not once per row)."""
+    point — the prompt forward runs once per prompt, not once per row).
+    On TPU with 128-aligned Lp/S this path rides the Pallas flash kernel
+    (q_offset = Lp over a per-layer [broadcast prefix | chunk] KV concat —
+    the (B, H, S, Lp) logits never materialize; the concat is a ~16 MB/layer
+    transient and its VJP sums the prefix gradient over the R rows)."""
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
@@ -418,6 +423,20 @@ def shared_decode_forward(
     from ...ops.attention import mha_shared_prefix
     from ...ops.quant import quantize_kv
 
+    Lp = prefix.k.shape[2]
+    flash_chunk = (
+        suffix is None
+        and prefix.k.dtype != jnp.int8
+        and _flash_eligible(cfg, S)
+        and Lp % 128 == 0
+    ) if use_flash is None else use_flash
+    if flash_chunk:
+        P = prefix.k.shape[1]
+        R = B // P
+        kv_bias_flash = jnp.concatenate(
+            [jnp.repeat(prefix_bias, R, axis=0), jnp.zeros((B, S), jnp.float32)], axis=1
+        )
+
     def layer(x, scanned):
         if quant:
             lp, kp, vp, kps, vps, ko, vo, kos, vos = scanned
@@ -432,9 +451,16 @@ def shared_decode_forward(
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
-        attn = mha_shared_prefix(
-            q, kp, vp, kps, vps, ko, vo, kos, vos, k, v, bias_pref, bias_own, bias_new
-        )
+        if flash_chunk:
+            from ...ops.flash_attention import flash_attention
+
+            k_all = jnp.concatenate([jnp.repeat(kp.astype(q.dtype), R, axis=0), k], axis=1)
+            v_all = jnp.concatenate([jnp.repeat(vp.astype(q.dtype), R, axis=0), v], axis=1)
+            attn = flash_attention(q, k_all, v_all, kv_bias_flash, True, None, Lp)
+        else:
+            attn = mha_shared_prefix(
+                q, kp, vp, kps, vps, ko, vo, kos, vos, k, v, bias_pref, bias_own, bias_new
+            )
         a = qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
         x = x + a
         h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
