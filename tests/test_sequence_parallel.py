@@ -73,3 +73,18 @@ def test_sp_decoder_param_grads_match():
             atol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+@pytest.mark.parametrize("n", [2])
+def test_sp_decoder_zigzag_matches_plain(n):
+    """Balanced zig-zag layout: permute in, ring over paired chunks, permute
+    out — must match the plain decoder exactly like the contiguous layout."""
+    cfg, params, embeds, pos, mask = _setup(seed=5)
+    want, _ = decoder_forward(params, cfg, embeds, pos, attention_mask=mask)
+    got = sequence_parallel_decoder(
+        params, cfg, embeds, pos, mask, _mesh(n), layout="zigzag"
+    )
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], rtol=3e-5, atol=3e-5
+    )

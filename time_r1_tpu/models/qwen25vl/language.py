@@ -293,9 +293,14 @@ def decoder_forward(
             new_k, new_v = k, v  # ys: the chunk only — written into the cache once, post-scan
         elif flash:
             if cp is not None:
-                from ...parallel.ring_attention import ring_flash_attention
+                if len(cp) > 2 and cp[2] == "zigzag":
+                    from ...parallel.ring_attention import ring_flash_attention_zigzag
 
-                attn = ring_flash_attention(q, k, v, kv_bias, cp[0], cp[1], True, None)
+                    attn = ring_flash_attention_zigzag(q, k, v, kv_bias, cp[0], cp[1])
+                else:
+                    from ...parallel.ring_attention import ring_flash_attention
+
+                    attn = ring_flash_attention(q, k, v, kv_bias, cp[0], cp[1], True, None)
             else:
                 from ...ops.flash_attention import flash_attention
 
