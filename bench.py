@@ -84,30 +84,15 @@ def main():
             [cfg.vision_end_token_id],
         ]
     )
-    ids = np.tile(row[None, :], (BATCH, 1))
-    S = ids.shape[1]
-    max_len = S + DECODE_STEPS
-    mask = np.ones((BATCH, max_len), np.int64)
-
-    pos_ids, _ = get_rope_index(
-        cfg,
-        ids,
-        video_grid_thw=np.tile(np.array([VIDEO_GRID]), (BATCH, 1)),
-        second_per_grid_ts=[1.0] * BATCH,
-        attention_mask=mask[:, :S],
-    )
-    start_pos = jnp.asarray(pos_ids.max(axis=(0, 2)) + 1)
-
-    prep = prepare_vision_inputs([VIDEO_GRID] * BATCH, cfg.vision)
-    patches = rng.normal(size=(n_patches * BATCH, cfg.vision.patch_input_dim)).astype(np.float32)
-    vis = VisionInputs.build(prep, jnp.asarray(patches, jnp.bfloat16))
+    S = row.shape[0]
+    patches = rng.normal(size=(n_patches, cfg.vision.patch_input_dim)).astype(np.float32)
 
     sp = SamplingParams(temperature=1.0, max_new_tokens=DECODE_STEPS)
 
     # GRPO rollouts prefill each UNIQUE prompt once; the decode keeps ONE
     # physical prompt-KV copy shared by the G rows (mha_shared_prefix) —
     # the layout the engine actually runs (sampler/engine.decode_loop_shared)
-    ids1 = ids[:1]
+    ids1 = row[None, :]
     mask1 = np.ones((1, S), np.int64)
     pos_ids1, _ = get_rope_index(
         cfg,
@@ -116,6 +101,7 @@ def main():
         second_per_grid_ts=[1.0],
         attention_mask=mask1,
     )
+    start_pos = jnp.asarray(pos_ids1.max(axis=(0, 2)) + 1)  # (1,)
     prep1 = prepare_vision_inputs([VIDEO_GRID], cfg.vision)
     mask1j = jnp.asarray(mask1)
 
@@ -171,7 +157,7 @@ def main():
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
-    vis1 = VisionInputs.build(prep1, jnp.asarray(patches[:n_patches], jnp.bfloat16))
+    vis1 = VisionInputs.build(prep1, jnp.asarray(patches, jnp.bfloat16))
     ids1j, pos1j = jnp.asarray(ids1), jnp.asarray(pos_ids1)
     cache, first = prefill(p8, ids1j, pos1j, vis1)
     sync(first)
@@ -210,7 +196,7 @@ def main():
     # ~15 MB of host→device transfer to the vision phase otherwise)
     req = Request(
         input_ids=row.tolist(),
-        patches=jnp.asarray(patches[:n_patches], jnp.bfloat16),
+        patches=jnp.asarray(patches, jnp.bfloat16),
         grid_thw=VIDEO_GRID,
         second_per_grid_t=1.0,
     )

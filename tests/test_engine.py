@@ -78,3 +78,66 @@ def test_video_request_generates(engine):
         [Request(input_ids=ids, patches=patches, grid_thw=grid, second_per_grid_t=1.0)], sp
     )
     assert len(out) == 1 and 1 <= len(out[0]) <= 4
+
+
+def test_decode_positions_match_full_forward(jx_params, engine):  # noqa: F811
+    """Pin the decode rope-position convention against the MODEL, not another
+    decode loop: feeding generated token t (0-based) at position start_pos+t
+    through the cached forward must reproduce the no-cache full forward's
+    logits at the same row. (Greedy-argmax equivalence tests tolerate a ±1
+    position shift on the tiny model; this one does not.)"""
+    import jax
+
+    from time_r1_tpu.models.qwen25vl import forward, get_rope_index
+
+    rng = np.random.default_rng(21)
+    prompt = list(rng.integers(2, 200, 9))
+    cont = [11, 23, 35]
+
+    ids_full = np.asarray([prompt + cont], np.int64)
+    pos_full, _ = get_rope_index(CFG, ids_full, attention_mask=np.ones_like(ids_full))
+    logits_full, _ = forward(jx_params, CFG, jnp.asarray(ids_full), jnp.asarray(pos_full))
+
+    ids1, mask1, pos1, start1, vis, S, max_len = engine._pack(
+        [Request(input_ids=prompt)], extra_len=len(cont)
+    )
+    fl, cache = engine._prefill(ids1, mask1, pos1, vis, S, max_len)
+    np.testing.assert_allclose(
+        np.asarray(fl[0]), np.asarray(logits_full[0, len(prompt) - 1]),
+        rtol=2e-5, atol=2e-5,
+    )
+    for t, tok in enumerate(cont):
+        pos3 = jnp.broadcast_to(
+            jnp.asarray(start1 + t)[None, :, None], (3, 1, 1)
+        ).astype(jnp.int32)
+        lg, cache = forward(
+            jx_params, CFG, jnp.asarray([[tok]]), pos3,
+            attention_mask=jnp.asarray(mask1), cache=cache,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg[0, -1]), np.asarray(logits_full[0, len(prompt) + t]),
+            rtol=3e-5, atol=3e-5, err_msg=f"decode step {t}",
+        )
+
+    # and the real loops stay argmax-consistent with the full forward (weak
+    # pin: random tiny weights keep logits embedding-dominated, so a small
+    # position shift rarely flips argmax — the decisive pin is the 3e-5
+    # logit asserts above, which a +-1 shift breaks at ~1e-3)
+    from dataclasses import replace
+
+    from time_r1_tpu.models.qwen25vl import init_params
+
+    cfg_rope = replace(CFG, text=replace(CFG.text, rope_theta=4.0))
+    params_rope = init_params(cfg_rope, jax.random.PRNGKey(2), dtype=jnp.float32)
+    for G in (1, 2):  # decode_loop and decode_loop_shared
+        eng2 = Engine(params_rope, cfg_rope, dtype=jnp.float32)
+        sp = SamplingParams(
+            temperature=0.0, max_new_tokens=8, stop_token_ids=(),
+            num_return_sequences=G,
+        )
+        out = eng2.generate([Request(input_ids=prompt)], sp)[0]
+        ids2 = np.asarray([prompt + out], np.int64)
+        pos2, _ = get_rope_index(cfg_rope, ids2, attention_mask=np.ones_like(ids2))
+        lg2, _ = forward(params_rope, cfg_rope, jnp.asarray(ids2), jnp.asarray(pos2))
+        want = np.argmax(np.asarray(lg2[0, len(prompt) - 1 : -1]), axis=-1).tolist()
+        assert out == want, f"G={G}"

@@ -291,7 +291,9 @@ def pp_generate(
 
         def body(state):
             step, ck, cv, tokens, done, last, rng = state
-            pos = start_pos + step  # decode_loop's convention (engine.py:179)
+            # `last` is generated token step-1 (0-based) at rope position
+            # start_pos + step - 1 (decode_loop's convention)
+            pos = start_pos + step - 1
             pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
             cos, sin = mrope_cos_sin(tcfg, pos3)
             cos_b, sin_b = cos[:, :, None, :], sin[:, :, None, :]

@@ -25,6 +25,17 @@ def _bucket(n: int, minimum: int = 128) -> int:
     return b
 
 
+def _pack_vision(cfg: Qwen25VLConfig, grids: list, patch_list: list, dtype) -> VisionInputs:
+    """Vision inputs for a batch of UNIQUE videos (group-major feature
+    order), patch rows bucketed to a merge-unit multiple — the ONE place the
+    train-batch padding rule lives (both batch builders call it)."""
+    patches = np.concatenate(patch_list, axis=0)
+    unit = cfg.vision.merge_unit
+    pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
+    prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)
+    return VisionInputs.build(prep, jnp.asarray(patches, dtype))
+
+
 def _bucket256(n: int) -> int:
     """256-granular bucket (min 128): the shared-prefix prompt rows pay the
     padded length in the prefill AND in every chunk-attention key pass, so
@@ -149,11 +160,7 @@ def build_grpo_batch_groups(
 
     vis, feat_offsets = None, None
     if patch_list:
-        patches = np.concatenate(patch_list, axis=0)  # group-major feature order
-        unit = cfg.vision.merge_unit
-        pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
-        prep = prepare_vision_inputs(vis_grids, cfg.vision, pad_patches_to=pad_patches)
-        vis = VisionInputs.build(prep, jnp.asarray(patches, dtype))
+        vis = _pack_vision(cfg, vis_grids, patch_list, dtype)
         feat_offsets = jnp.asarray(np.array(row_feat_starts, np.int32))
 
     return GRPOBatch(
@@ -237,11 +244,7 @@ def build_grpo_split_batch(
 
     vis, feat_offsets = None, None
     if patch_list:
-        patches = np.concatenate(patch_list, axis=0)  # group-major feature order
-        unit = cfg.vision.merge_unit
-        pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
-        prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)
-        vis = VisionInputs.build(prep, jnp.asarray(patches, dtype))
+        vis = _pack_vision(cfg, grids, patch_list, dtype)
         feat_offsets = jnp.asarray(np.array(feat_starts, np.int32))
 
     return GRPOSplitBatch(

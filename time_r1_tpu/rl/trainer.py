@@ -633,8 +633,8 @@ class GRPOTrainer:
         from jax.experimental import multihost_utils
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..models.qwen25vl import VisionInputs, prepare_vision_inputs
-        from .rollout import _bucket
+        from ..models.qwen25vl import VisionInputs
+        from .rollout import _pack_vision
 
         assert vis_grids, "vision batch without grids"
         pc, pi = jax.process_count(), jax.process_index()
@@ -670,16 +670,13 @@ class GRPOTrainer:
             for i in range(int(counts[p])):
                 global_grids.append(tuple(int(x) for x in grids_all[p, i]))
             real_patches.append(patches_all[p, : int(rows_all[p])])
-        patches = np.concatenate(real_patches, axis=0)
-        pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
-        prep = prepare_vision_inputs(global_grids, self.cfg.vision, pad_patches_to=pad_patches)
 
         rep = NamedSharding(self.mesh, P())
 
         def repl(x):
             return jax.make_array_from_process_local_data(rep, np.asarray(x))
 
-        local_vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
+        local_vis = _pack_vision(self.cfg, global_grids, real_patches, self.dtype)
         vis = VisionInputs(*[repl(leaf) for leaf in local_vis])
 
         # rebase this process's per-row feature offsets past the earlier

@@ -149,18 +149,24 @@ class DecodeState(NamedTuple):
     counts: jnp.ndarray  # (B, V) int32 (or (B, 1) when unused)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(2,))
-def decode_loop(
-    params,
+def _run_decode_loop(
     cfg: Qwen25VLConfig,
-    cache: KVCache,
+    cache0,  # any pytree carried as s.cache (full KV cache / suffix cache)
     first_logits: jnp.ndarray,  # (B, V) logits at the last prompt position
-    start_pos: jnp.ndarray,  # (B,) position of the first generated token
-    mask: jnp.ndarray,  # (B, max_len)
     sp: SamplingParams,
     rng: jnp.ndarray,
+    step_fn,  # (s: DecodeState, pos3 (3, B, 1)) -> (logits (B, V), new cache)
+    start_pos: jnp.ndarray,  # (B,) rope position of the first generated token
 ) -> jnp.ndarray:
-    """Sample + decode up to sp.max_new_tokens; returns tokens (B, max_new)."""
+    """Shared sample/stop/repetition bookkeeping for the decode loops; the
+    cache layout lives entirely in `step_fn`. One copy of the semantics —
+    the full-cache and shared-prefix loops cannot drift apart.
+
+    Position convention: s.last is generated token index s.step-1 (0-based),
+    which sits AT rope position start_pos + s.step - 1 (all three mrope axes
+    advance together). A +1 here shifts every completion token relative to
+    the prompt — off-by-one vs HF and vs the trainer's logp recompute
+    (pinned by test_engine.test_decode_positions_match_full_forward)."""
     B = first_logits.shape[0]
     max_new = sp.max_new_tokens
     stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
@@ -179,13 +185,11 @@ def decode_loop(
         return (s.step < max_new) & ~jnp.all(s.done)
 
     def body(s: DecodeState):
-        pos = start_pos + s.step  # all three mrope axes advance together
+        pos = start_pos + s.step - 1
         pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
-        lg, cache = forward(
-            params, cfg, s.last[:, None], pos3, attention_mask=mask, cache=s.cache
-        )
+        lg, cache = step_fn(s, pos3)
         rng2, sub2 = jax.random.split(s.rng)
-        nxt = sample_tokens(lg[:, -1], sub2, sp, s.counts if track_counts else None)
+        nxt = sample_tokens(lg, sub2, sp, s.counts if track_counts else None)
         nxt = jnp.where(s.done, cfg.pad_token_id, nxt)
         if track_counts:
             counts = s.counts.at[jnp.arange(B), nxt].add(jnp.where(s.done, 0, 1))
@@ -195,9 +199,31 @@ def decode_loop(
         done = s.done | jnp.isin(nxt, stop_ids)
         return DecodeState(cache, tokens, nxt, done, s.step + 1, rng2, counts)
 
-    init = DecodeState(cache, tokens0, first, done0, jnp.ones((), jnp.int32), rng, counts0)
+    init = DecodeState(cache0, tokens0, first, done0, jnp.ones((), jnp.int32), rng, counts0)
     final = jax.lax.while_loop(cond, body, init)
     return final.tokens
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(2,))
+def decode_loop(
+    params,
+    cfg: Qwen25VLConfig,
+    cache: KVCache,
+    first_logits: jnp.ndarray,  # (B, V) logits at the last prompt position
+    start_pos: jnp.ndarray,  # (B,) position of the first generated token
+    mask: jnp.ndarray,  # (B, max_len)
+    sp: SamplingParams,
+    rng: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample + decode up to sp.max_new_tokens; returns tokens (B, max_new)."""
+
+    def step_fn(s: DecodeState, pos3):
+        lg, cache = forward(
+            params, cfg, s.last[:, None], pos3, attention_mask=mask, cache=s.cache
+        )
+        return lg[:, -1], cache
+
+    return _run_decode_loop(cfg, cache, first_logits, sp, rng, step_fn, start_pos)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sp"), donate_argnums=(3,))
@@ -215,46 +241,16 @@ def decode_loop_shared(
     """decode_loop over the shared-prefix cache layout: the prompt KV is
     stored once per prompt and every rollout row keeps only its own
     generated-suffix cache (models/qwen25vl/language.shared_decode_forward).
-    Same sampling/stop semantics as decode_loop."""
+    Same sampling/stop semantics as decode_loop (shared _run_decode_loop)."""
     from ..models.qwen25vl import forward_shared_decode
 
-    B = first_logits.shape[0]
-    max_new = sp.max_new_tokens
-    stop_ids = jnp.array(sp.stop_token_ids, jnp.int32)
-    track_counts = sp.repetition_penalty != 1.0
-    V = first_logits.shape[-1]
-
-    rng, sub = jax.random.split(rng)
-    first = sample_tokens(first_logits, sub, sp)
-    counts0 = jnp.zeros((B, V if track_counts else 1), jnp.int32)
-    if track_counts:
-        counts0 = counts0.at[jnp.arange(B), first].add(1)
-    tokens0 = jnp.full((B, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
-    done0 = jnp.isin(first, stop_ids)
-
-    def cond(s: DecodeState):
-        return (s.step < max_new) & ~jnp.all(s.done)
-
-    def body(s: DecodeState):
-        pos = start_pos + s.step
-        pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+    def step_fn(s: DecodeState, pos3):
         lg, suf = forward_shared_decode(
             params, cfg, s.last[:, None], pos3, prefix, s.cache, prefix_bias
         )
-        rng2, sub2 = jax.random.split(s.rng)
-        nxt = sample_tokens(lg[:, -1], sub2, sp, s.counts if track_counts else None)
-        nxt = jnp.where(s.done, cfg.pad_token_id, nxt)
-        if track_counts:
-            counts = s.counts.at[jnp.arange(B), nxt].add(jnp.where(s.done, 0, 1))
-        else:
-            counts = s.counts
-        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.step))
-        done = s.done | jnp.isin(nxt, stop_ids)
-        return DecodeState(suf, tokens, nxt, done, s.step + 1, rng2, counts)
+        return lg[:, -1], suf
 
-    init = DecodeState(suffix, tokens0, first, done0, jnp.ones((), jnp.int32), rng, counts0)
-    final = jax.lax.while_loop(cond, body, init)
-    return final.tokens
+    return _run_decode_loop(cfg, suffix, first_logits, sp, rng, step_fn, start_pos)
 
 
 class Engine:
