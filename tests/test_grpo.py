@@ -269,3 +269,36 @@ def test_split_batch_loss_matches_full_rows(params, with_video, beta):
     flat_s = jax.tree.leaves(g_s)
     for a, b in zip(flat_s, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_mixed_video_and_text_groups(params, split):
+    """A batch mixing a video group and a text-only group must build with
+    row-aligned feat_offsets and produce the same loss as two separate
+    single-modality batches would imply (regression: offsets were built only
+    for video rows, crashing merge_vision_embeddings on mixed batches)."""
+    from time_r1_tpu.rl import build_grpo_batch_groups
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    G = 2
+    hp = GRPOHyperParams(num_generations=G, beta=0.0, use_grpo=False, fix_vit=True)
+    vgroups = _mk_groups(True, G=G, P=1)
+    tgroups = _mk_groups(False, G=G, P=1)
+    mixed = vgroups + tgroups
+    if split:
+        batch = build_grpo_split_batch(CFG, mixed, dtype=jnp.float32)
+        assert batch.feat_offsets.shape[0] == 2  # one offset per PROMPT
+    else:
+        batch = build_grpo_batch_groups(CFG, mixed, dtype=jnp.float32)
+        assert batch.feat_offsets.shape[0] == 2 * G  # one offset per ROW
+    loss, metrics = grpo_loss(params, CFG, hp, batch)
+    assert np.isfinite(float(loss))
+
+    # cross-layout agreement pins the mixed-batch math end to end
+    other = (
+        build_grpo_batch_groups(CFG, mixed, dtype=jnp.float32)
+        if split
+        else build_grpo_split_batch(CFG, mixed, dtype=jnp.float32)
+    )
+    loss2, _ = grpo_loss(params, CFG, hp, other)
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=2e-5, atol=2e-6)

@@ -145,3 +145,23 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     slosses = [r["split_vision_loss"] for r in results]
     assert slosses[0] == pytest.approx(slosses[1], rel=1e-6)
     assert slosses[0] == pytest.approx(float(vwant), rel=1e-4)
+
+    # RANK-ASYMMETRIC vision (pid 0 video, pid 1 text-only): the collective
+    # has-vision decision keeps both ranks in _global_vision; loss matches
+    # the single-process oracle over the mixed groups
+    alosses = [r["asym_vision_loss"] for r in results]
+    assert alosses[0] == pytest.approx(alosses[1], rel=1e-6)
+    tgroup = {
+        "prompt_ids": list(np.random.default_rng(300).integers(2, 200, 7)),
+        "completions": [
+            list(np.random.default_rng(301 + i).integers(2, 200, 3)) + [CFG.eos_token_id]
+            for i in range(4)
+        ],
+        "advantages": np.random.default_rng(302).normal(size=4).astype(np.float32),
+        "patches": None,
+        "grid_thw": None,
+        "second_per_grid_t": 1.0,
+    }
+    abatch = build_grpo_batch_groups(CFG, [vgroups[0], tgroup], pad_to=64, dtype=jnp.float32)
+    awant, _ = grpo_loss(params, CFG, hp, abatch)
+    assert alosses[0] == pytest.approx(float(awant), rel=1e-4)

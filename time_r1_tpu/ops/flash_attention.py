@@ -370,83 +370,21 @@ def _flash_bwd_dkv(q, k, v, kv_bias, do, lse, delta, causal, scale, q_offset, bl
 
 
 def _flash_vjp_bwd(causal, scale, q_offset, block_q, block_k, res, g):
+    """FA-2 backward: delta, then delegate to the single-pair helpers (one
+    copy of the kernel plumbing — the ring backward reuses the same two)."""
     q, k, v, kv_bias, out, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
     block_q, block_k = _resolve_blocks(q, k, q_offset, block_q, block_k)
-    B, Sq, H, D = q.shape
-    Skv, Hkv = k.shape[1], k.shape[2]
-    G = H // Hkv
-
-    qT = q.transpose(0, 2, 1, 3)
-    kT = k.transpose(0, 2, 1, 3)
-    vT = v.transpose(0, 2, 1, 3)
-    doT = g.transpose(0, 2, 1, 3)
     # delta = rowsum(dO * O)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B, Sq, H)
-    deltaT = delta.transpose(0, 2, 1)[..., None]  # (B, H, Sq, 1)
-    deltaT = jnp.broadcast_to(deltaT, (B, H, Sq, 128))
-    lseT = jnp.broadcast_to(lse[..., None], (B, H, Sq, 128))
-
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel_dq,
-            causal=causal,
-            scale=scale,
-            block_k=block_k,
-            q_offset_blocks=q_offset // block_q,
-        ),
-        grid=(B, H, Sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, Skv), lambda b, h, qi: (b, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, Skv, D), lambda b, h, qi: (b, h // G, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, qi: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, qi: (b, h, qi, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi: (b, h, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
-        interpret=_interpret(),
-    )(kv_bias[:, None, :], qT, kT, vT, doT, lseT, deltaT)
-
-    # dk/dv accumulated per q-head then summed over the group
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel_dkv,
-            causal=causal,
-            scale=scale,
-            block_q=block_q,
-            q_offset_blocks=q_offset // block_q,
-            group=G,
-            sq=Sq,
-        ),
-        grid=(B, H, Skv // block_k),
-        in_specs=[
-            pl.BlockSpec((1, 1, Skv), lambda b, h, kj: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Sq, D), lambda b, h, kj: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h // G, kj, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h // G, kj, 0)),
-            pl.BlockSpec((1, 1, Sq, D), lambda b, h, kj: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Sq, 128), lambda b, h, kj: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Sq, 128), lambda b, h, kj: (b, h, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h, kj, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, kj: (b, h, kj, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(kv_bias[:, None, :], qT, kT, vT, doT, lseT, deltaT)
-    # sum q-head grads within each kv group
-    dk = dk.reshape(B, Hkv, G, Skv, D).sum(axis=2).transpose(0, 2, 1, 3).astype(k.dtype)
-    dv = dv.reshape(B, Hkv, G, Skv, D).sum(axis=2).transpose(0, 2, 1, 3).astype(v.dtype)
-    dqT = dq.transpose(0, 2, 1, 3)
-    return dqT, dk, dv, None
+    dq = _flash_bwd_dq(
+        q, k, v, kv_bias, g, lse, delta, causal, scale, q_offset, block_q, block_k
+    )
+    dk, dv = _flash_bwd_dkv(
+        q, k, v, kv_bias, g, lse, delta, causal, scale, q_offset, block_q, block_k
+    )
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

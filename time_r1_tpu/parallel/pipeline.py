@@ -283,6 +283,13 @@ def pp_generate(
         first = jax.lax.psum(jnp.where(sid == 0, first, 0), STAGE_AXIS)
         tokens0 = jnp.full((B, max_new), cfg.pad_token_id, jnp.int32).at[:, 0].set(first)
         done0 = jnp.isin(first, stop_ids)
+        # repetition-penalty bookkeeping (engine._run_decode_loop semantics);
+        # counts update from the psum'ed token, so every stage stays in sync
+        track_counts = sp.repetition_penalty != 1.0
+        V = logits.shape[-1]
+        counts0 = jnp.zeros((B, V if track_counts else 1), jnp.int32)
+        if track_counts:
+            counts0 = counts0.at[jnp.arange(B), first].add(1)
 
         # ---- decode: one relay per token ----
         def cond(state):
@@ -290,7 +297,7 @@ def pp_generate(
             return (step < max_new) & ~jnp.all(state[4])
 
         def body(state):
-            step, ck, cv, tokens, done, last, rng = state
+            step, ck, cv, tokens, done, last, rng, counts = state
             # `last` is generated token step-1 (0-based) at rope position
             # start_pos + step - 1 (decode_loop's convention)
             pos = start_pos + step - 1
@@ -309,14 +316,16 @@ def pp_generate(
             hidden = _rms_norm(h, other["norm"]["scale"], eps)
             logits = lm_logits(other, tcfg, hidden)[:, 0]
             rng, sub = jax.random.split(rng)
-            nxt = sample_tokens(logits, sub, sp)
+            nxt = sample_tokens(logits, sub, sp, counts if track_counts else None)
             nxt = jax.lax.psum(jnp.where(sid == 0, nxt, 0), STAGE_AXIS)
             nxt = jnp.where(done, cfg.pad_token_id, nxt)
+            if track_counts:
+                counts = counts.at[jnp.arange(B), nxt].add(jnp.where(done, 0, 1))
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
             done = done | jnp.isin(nxt, stop_ids)
-            return step + 1, ck, cv, tokens, done, nxt, rng
+            return step + 1, ck, cv, tokens, done, nxt, rng, counts
 
-        state = (jnp.ones((), jnp.int32), ck, cv, tokens0, done0, first, rng)
+        state = (jnp.ones((), jnp.int32), ck, cv, tokens0, done0, first, rng, counts0)
         state = jax.lax.while_loop(cond, body, state)
         return state[3][None]  # (1, B, max_new), identical on every stage
 

@@ -112,6 +112,7 @@ def build_grpo_batch_groups(
         Cmax = max((len(c) for c in completions), default=1)
         lead = T - (P + Cmax)  # left-pad so the group's prompts align
         has_video = g.get("grid_thw") is not None
+        group_start = 0  # text-only rows carry offset 0 (no video tokens to merge)
         if has_video:
             # each video's patches enter the batch ONCE; its G rows all point
             # at the same feature span via per-row feature offsets (the
@@ -141,7 +142,10 @@ def build_grpo_batch_groups(
             if has_video:
                 row_grids.append(grid)
                 row_spgs.append(float(g.get("second_per_grid_t", 1.0)))
-                row_feat_starts.append(group_start)
+            # EVERY row gets an offset (text-only rows: 0, unused by the
+            # merge) so a batch mixing video and text-only groups keeps
+            # feat_offsets row-aligned with input_ids
+            row_feat_starts.append(group_start)
         rows_adv.append(np.asarray(g["advantages"], np.float32))
 
     ids = np.stack(rows_ids)
@@ -213,6 +217,10 @@ def build_grpo_split_batch(
             patch_list.append(g["patches"])
             feat_starts.append(feat_cursor)
             feat_cursor += (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
+        else:
+            # text-only group: offset 0, unused by the merge — keeps
+            # feat_offsets aligned (P,) when groups mix video and text
+            feat_starts.append(0)
         for comp in g["completions"]:
             row = np.full((Lc,), cfg.pad_token_id, np.int64)
             cmask = np.zeros((Lc,), np.int64)

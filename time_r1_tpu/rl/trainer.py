@@ -305,21 +305,28 @@ class GRPOTrainer:
 
     def _gather_metrics(self, metrics: dict) -> dict:
         """Cross-process metric mean — `accelerator.gather_for_metrics` parity
-        (timer1_trainer.py:741-777). Gathers a FIXED-order vector over the
-        registry keys with NaN for locally-absent values, so ranks with
-        different populated keys still exchange same-shaped arrays; per-key
-        mean ignores the NaN ranks."""
+        (timer1_trainer.py:741-777). Gathers a FIXED-order [values | presence]
+        vector over the registry keys, so ranks with different populated keys
+        still exchange same-shaped arrays; per-key mean runs over the PRESENT
+        ranks. Presence is an explicit 0/1 mask, not a NaN sentinel: a rank
+        whose metric genuinely went NaN (diverged loss) must poison the mean,
+        not silently drop out of it."""
         from jax.experimental import multihost_utils
 
         keys = self._registry_keys()
-        local = np.asarray([metrics.get(k, np.nan) for k in keys], np.float32)
-        gathered = np.asarray(multihost_utils.process_allgather(local))  # (procs, K)
+        vals = np.asarray([metrics.get(k, 0.0) for k in keys], np.float32)
+        present = np.asarray([float(k in metrics) for k in keys], np.float32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(np.concatenate([vals, present]))
+        )  # (procs, 2K)
+        K = len(keys)
+        gv, gp = gathered[:, :K], gathered[:, K:]
         out = {}
         for i, k in enumerate(keys):
-            col = gathered[:, i]
-            if np.isnan(col).all():
+            n = gp[:, i].sum()
+            if n == 0:
                 continue
-            out[k] = float(np.nanmean(col))
+            out[k] = float((gv[:, i] * gp[:, i]).sum() / n)
         # keys outside the registry stay process-local (none today; belt and
         # braces for injected custom metrics)
         for k, v in metrics.items():
@@ -489,8 +496,8 @@ class GRPOTrainer:
                 return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
             vision, feat_offsets = batch.vision, batch.feat_offsets
-            if vision is not None:
-                vision, feat_offsets = self._global_vision(batch, vis_grids)
+            if self._any_process_has_vision(vision):
+                vision, feat_offsets = self._global_vision(batch, vis_grids or [])
             return batch._replace(
                 input_ids=glob(batch.input_ids, rows),
                 attention_mask=glob(batch.attention_mask, rows),
@@ -567,8 +574,8 @@ class GRPOTrainer:
                 )
 
             vision, feat_offsets = batch.vision, batch.feat_offsets
-            if vision is not None:
-                vision, feat_offsets = self._global_vision(batch, vis_grids)
+            if self._any_process_has_vision(vision):
+                vision, feat_offsets = self._global_vision(batch, vis_grids or [])
 
             # prompts: host-allgather the local P rows in process order
             def allg_rows(x):  # (P_local, ...) → (P_global, ...)
@@ -617,6 +624,20 @@ class GRPOTrainer:
             ),
         )
 
+    def _any_process_has_vision(self, vision) -> bool:
+        """COLLECTIVE decision whether to run the vision allgathers: every
+        rank must take the same branch — a rank whose local shard happens to
+        be text-only still has to participate in _global_vision's collectives
+        (with zero videos) or the video-carrying ranks hang."""
+        from jax.experimental import multihost_utils
+
+        flags = np.asarray(
+            multihost_utils.process_allgather(
+                np.array([0 if vision is None else 1], np.int64)
+            )
+        )
+        return bool(flags.sum() > 0)
+
     def _global_vision(self, batch, vis_grids):
         """Union of every process's videos as ONE replicated VisionInputs,
         plus this process's rows' feature offsets rebased to the global
@@ -636,7 +657,8 @@ class GRPOTrainer:
         from ..models.qwen25vl import VisionInputs
         from .rollout import _pack_vision
 
-        assert vis_grids, "vision batch without grids"
+        # vis_grids may be EMPTY on this rank (text-only local shard): the
+        # rank still participates in every collective with zero videos
         pc, pi = jax.process_count(), jax.process_index()
         unit = self.cfg.vision.merge_unit
 
@@ -651,7 +673,10 @@ class GRPOTrainer:
         grids_all = np.asarray(multihost_utils.process_allgather(g_pad)).reshape(pc, n_max, 3)
 
         # patch allgather on host (rows padded to the max per-process bucket)
-        local_np = np.asarray(batch.vision.patches)  # includes local pad rows
+        if batch.vision is not None:
+            local_np = np.asarray(batch.vision.patches)  # includes local pad rows
+        else:
+            local_np = np.zeros((0, self.cfg.vision.patch_input_dim), np.float32)
         local_rows = int(g_pad.prod(axis=1).sum())
         rows_all = np.asarray(
             multihost_utils.process_allgather(np.array([local_rows], np.int64))
@@ -680,11 +705,20 @@ class GRPOTrainer:
         vis = VisionInputs(*[repl(leaf) for leaf in local_vis])
 
         # rebase this process's per-row feature offsets past the earlier
-        # processes' feature rows
+        # processes' feature rows (text-only local rows carry offset 0 —
+        # unused by the merge, but the array must stay row-aligned)
         feats_per_proc = (grids_all.prod(axis=2) // unit).sum(axis=1)
         base = int(feats_per_proc[:pi].sum())
-        feat_offsets = np.asarray(batch.feat_offsets) + base
-        return vis, feat_offsets
+        if batch.feat_offsets is not None:
+            local_off = np.asarray(batch.feat_offsets)
+        else:
+            from .grpo import GRPOSplitBatch
+
+            rows = (
+                batch.prompt_ids if isinstance(batch, GRPOSplitBatch) else batch.input_ids
+            ).shape[0]
+            local_off = np.zeros((rows,), np.int32)
+        return vis, local_off + base
 
     def _policy_params(self) -> dict:
         """Current policy weights: base, or base functionally merged with the
@@ -740,7 +774,10 @@ class GRPOTrainer:
             pc = jax.process_count()
             data = list(dataset)
             total = math.ceil(len(data) / pc) * pc
-            data = data + data[: total - len(data)]
+            # modular repetition: a single wrap slice under-fills when the
+            # dataset is smaller than the process count (empty shards would
+            # exit the step loop early and hang the other ranks' collectives)
+            data = [data[i % len(data)] for i in range(total)]
             shard = data[jax.process_index() :: pc]
         bs = max(int(c.per_device_train_batch_size), 1)
         for epoch in range(n_epochs):

@@ -332,8 +332,11 @@ class Engine:
         start_pos = pos_ids.max(axis=(0, 2)) + 1
         return ids, mask, pos_ids, start_pos, vis, S, max_len
 
-    def _prefill(self, ids, mask, pos_ids, vis, S: int, max_len: int):
-        """Chunked prefill → (last-position logits, cache)."""
+    def _prefill(self, ids, mask, pos_ids, vis, S: int, max_len: int, on_chunk=None):
+        """Chunked prefill → (last-position logits, cache).
+
+        on_chunk: called BETWEEN chunks (paged-engine admission interleave —
+        resident slots decode while a long prompt streams in)."""
         B = ids.shape[0]
         cache = KVCache.zeros(self.cfg.text, B, max_len, dtype=self.dtype)
         feats = None
@@ -347,6 +350,8 @@ class Engine:
 
         logits = None
         for c0 in range(0, S, chunk):
+            if c0 > 0 and on_chunk is not None:
+                on_chunk()
             c1 = min(S, c0 + chunk)
             feat_off = row_start + is_vis_np[:, :c0].sum(axis=1)
             logits, cache = prefill_chunk(

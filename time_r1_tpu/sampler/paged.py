@@ -376,38 +376,10 @@ class PagedEngine:
         return out
 
     def _prefill_interleaved(self, eng, ids, mask, pos_ids, vis, S, on_chunk):
-        """Engine._prefill's chunk loop with `on_chunk()` BETWEEN chunks —
-        resident slots decode while a long admission streams in."""
-        from ..models.qwen25vl import KVCache
-        from .engine import compute_vision_features, prefill_chunk
-
-        B = ids.shape[0]
-        cache = KVCache.zeros(self.cfg.text, B, S, dtype=self.dtype)
-        feats = None
-        if vis is not None:
-            feats = compute_vision_features(self.params, self.cfg, vis)
-        chunk = self.prefill_chunk_tokens
-        is_vis_np = np.isin(ids, [self.cfg.video_token_id, self.cfg.image_token_id])
-        row_total = is_vis_np.sum(axis=1)
-        row_start = np.cumsum(row_total) - row_total
-        logits = None
-        for c0 in range(0, S, chunk):
-            if c0 > 0:
-                on_chunk()
-            c1 = min(S, c0 + chunk)
-            feat_off = row_start + is_vis_np[:, :c0].sum(axis=1)
-            logits, cache = prefill_chunk(
-                self.params,
-                self.cfg,
-                cache,
-                jnp.asarray(ids[:, c0:c1]),
-                jnp.asarray(pos_ids[:, :, c0:c1]),
-                jnp.asarray(mask),
-                feats,
-                jnp.asarray(feat_off, jnp.int32) if feats is not None else None,
-                c0,
-            )
-        return logits[:, -1], cache
+        """Engine._prefill with `on_chunk()` BETWEEN chunks — resident slots
+        decode while a long admission streams in. One chunk-loop
+        implementation (eng.params was synced to self.params by the caller)."""
+        return eng._prefill(ids, mask, pos_ids, vis, S, S, on_chunk=on_chunk)
 
     def generate(self, requests, sp: SamplingParams):
         from collections import deque
