@@ -118,3 +118,22 @@ def test_evaluate_cli_pipeline_parallel(jx_params, tmp_path, monkeypatch):  # no
         outputs[tag] = [json.loads(l) for l in open(out_file)]
     assert outputs["pp2"] == outputs["single"]
     assert {r["qid"] for r in outputs["pp2"]} == {"tvg_0"}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 virtual devices")
+def test_pp_tp_compose_matches_bucket_greedy(jx_params):  # noqa: F811
+    """TP×PP composition (vLLM -tp × -pp capability): 2 stages × TP 2 over a
+    (stage, model) mesh — Megatron column/row-split layers inside each stage,
+    o/down partial sums psum over the model axis, per-device kv-head caches.
+    Greedy output must exactly match the single-device engine."""
+    rng = np.random.default_rng(5)
+    reqs = [Request(input_ids=list(rng.integers(2, 200, int(n)))) for n in (11, 7)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_token_ids=CFG.stop_token_ids)
+    want = Engine(jx_params, CFG, dtype=jnp.float32).generate(reqs, sp)
+    pp = PPEngine(jx_params, CFG, n_stages=2, dtype=jnp.float32, tp=2)
+    assert dict(pp.mesh.shape) == {"stage": 2, "model": 2}
+    # at least one weight actually sharded across all 4 devices
+    qw = pp.staged["self_attn"]["q_w"]
+    assert len(qw.sharding.device_set) == 4
+    got = pp.generate(reqs, sp)
+    assert got == want

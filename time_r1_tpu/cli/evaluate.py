@@ -143,13 +143,15 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
 
             from ..parallel.pipeline import PPEngine
 
-            if len(jax.devices()) < pp:
+            tp_in_pp = getattr(args, "tensor_parallel_size", 1)
+            if len(jax.devices()) < pp * tp_in_pp:
                 raise ValueError(
-                    f"pipeline_parallel_size={pp} but only {len(jax.devices())} devices"
+                    f"pipeline_parallel_size={pp} × tensor_parallel_size={tp_in_pp} "
+                    f"needs {pp * tp_in_pp} devices but only {len(jax.devices())} exist"
                 )
-            if getattr(args, "tensor_parallel_size", 1) > 1:
-                raise ValueError("TP×PP composition is not supported; pick one")
-            pp_engine = PPEngine(params, cfg, n_stages=pp)
+            # TP×PP composes (vLLM -tp × -pp): Megatron-split layers inside
+            # each stage over a (stage, model) mesh
+            pp_engine = PPEngine(params, cfg, n_stages=pp, tp=tp_in_pp)
             processor = Qwen25VLProcessor.from_pretrained(args.model_base)
             # no bucket engine in PP mode: the point of PP is that the FULL
             # tree does not fit one chip (prob-based MCQ scoring uses the

@@ -36,11 +36,54 @@ from ..ops.attention import NEG_INF, mha_reference
 from ..ops.quant import qmatmul
 
 STAGE_AXIS = "stage"
+MODEL_AXIS = "model"  # TP axis inside each stage (TP×PP composition)
 
 
-def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())[:n_stages]
-    return Mesh(np.array(devices), (STAGE_AXIS,))
+def make_pp_mesh(n_stages: int, tp: int = 1, devices=None) -> Mesh:
+    """(stage, model) mesh: n_stages × tp devices. tp=1 → pure PP (the model
+    axis is size 1; psums over it are identities XLA elides)."""
+    devices = list(devices if devices is not None else jax.devices())[: n_stages * tp]
+    return Mesh(np.array(devices).reshape(n_stages, tp), (STAGE_AXIS, MODEL_AXIS))
+
+
+def _stage_tp_specs(staged: dict, tp: int, mesh: Mesh = None) -> dict:
+    """PartitionSpec tree for the stacked (n_stages, Lp, …) layer params:
+    stage on dim 0; when tp > 1, Megatron-style column/row splits over the
+    model axis — q/k/v/gate/up COLUMN-split (output features), o/down
+    ROW-split (input features). int8 leaves ({'q8','s'}) split q8 like the
+    bf16 weight; the per-output-column scales split only for column-split
+    weights."""
+    col_w = ("q_w", "k_w", "v_w", "gate_w", "up_w")
+    col_b = ("q_b", "k_b", "v_b")
+    row_w = ("o_w", "down_w")
+
+    def spec(path, x):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leaf = names[-1] if names else ""
+        s = P(STAGE_AXIS)
+        if tp > 1:
+            wname = names[-2] if leaf in ("q8", "s", "q4") and len(names) >= 2 else leaf
+            if leaf in col_b:
+                s = P(STAGE_AXIS, None, MODEL_AXIS)
+            elif wname in col_w:
+                # per-output-column int8 scales follow the column split
+                s = (
+                    P(STAGE_AXIS, None, MODEL_AXIS)
+                    if leaf == "s"
+                    else P(STAGE_AXIS, None, None, MODEL_AXIS)
+                )
+            elif wname in row_w:
+                # per-output scales: the output dim is NOT split
+                s = P(STAGE_AXIS) if leaf == "s" else P(STAGE_AXIS, None, MODEL_AXIS, None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            return NamedSharding(mesh, s)
+        return s
+
+    from jax.tree_util import tree_map_with_path
+
+    return tree_map_with_path(spec, staged)
 
 
 def _stack_stages(layers: dict, n_stages: int) -> dict:
@@ -168,16 +211,31 @@ def pp_decoder_layers(
 
 
 def _run_stage_layers_cached(
-    layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, ck, cv, bias_old, bias_new, write_pos
+    layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, ck, cv, bias_old, bias_new,
+    write_pos, tp_axis=None,
 ):
     """One stage's layer group over an S-token chunk WITH its per-layer KV
-    caches. ck/cv: (Lp, B, max_len, nkv, hd). Returns (hidden, ck, cv) with
-    the chunk's KV written at [write_pos, write_pos+S)."""
+    caches. ck/cv: (Lp, B, max_len, nkv_loc, hd). Returns (hidden, ck, cv)
+    with the chunk's KV written at [write_pos, write_pos+S).
+
+    tp_axis: Megatron TP inside the stage — the layer weights are the LOCAL
+    column/row slices (heads and MLP features split over `tp_axis`), the
+    o-proj and down-proj partial sums psum over it. Head counts derive from
+    the local weight shapes, not cfg."""
     from ..ops.quant import attn_qkv_proj, mlp_proj
 
-    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    hd = cfg.head_dim
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
+    # LOCAL head counts from the (possibly TP-sliced) weight shapes
+    qw = layers_stage["self_attn"]["q_w"]
+    kw = layers_stage["self_attn"]["k_w"]
+    q_out = qw["q8"].shape[-1] if isinstance(qw, dict) else qw.shape[-1]
+    k_out = kw["q8"].shape[-1] if isinstance(kw, dict) else kw.shape[-1]
+    nh, nkv = q_out // hd, k_out // hd
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
 
     def layer(x, scanned):
         lp, layer_k, layer_v = scanned
@@ -191,9 +249,11 @@ def _run_stage_layers_cached(
         attn = mha_cached(
             q, layer_k.astype(q.dtype), layer_v.astype(q.dtype), k, v, bias_old, bias_new
         )
-        x = x + qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+        x = x + maybe_psum(
+            qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+        )
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + mlp_proj(h, lp["mlp"])
+        x = x + maybe_psum(mlp_proj(h, lp["mlp"]))
         return x, (k, v)
 
     hidden, (ks, vs) = jax.lax.scan(layer, hidden, (layers_stage, ck, cv))
@@ -226,8 +286,9 @@ def pp_generate(
 
     tcfg = cfg.text
     n_stages = mesh.shape[STAGE_AXIS]
+    tp_axis = MODEL_AXIS if MODEL_AXIS in dict(mesh.shape) else None
     B, S, H = embeds.shape
-    nkv, hd = tcfg.num_key_value_heads, tcfg.head_dim
+    hd = tcfg.head_dim
     eps = tcfg.rms_norm_eps
     max_new = sp.max_new_tokens
     stop_ids_arr = np.array(sp.stop_token_ids, np.int32)
@@ -237,8 +298,12 @@ def pp_generate(
         sid = jax.lax.axis_index(STAGE_AXIS)
         Lp = jax.tree.leaves(layers_stage)[0].shape[0]
         dtype = embeds.dtype
-        ck = jnp.zeros((Lp, B, max_len, nkv, hd), dtype)
-        cv = jnp.zeros((Lp, B, max_len, nkv, hd), dtype)
+        # LOCAL kv head count: under TP×PP the k/v columns are model-sliced,
+        # so each device caches only its own kv heads
+        kw = layers_stage["self_attn"]["k_w"]
+        nkv_loc = (kw["q8"].shape[-1] if isinstance(kw, dict) else kw.shape[-1]) // hd
+        ck = jnp.zeros((Lp, B, max_len, nkv_loc, hd), dtype)
+        cv = jnp.zeros((Lp, B, max_len, nkv_loc, hd), dtype)
         kv_pos = jnp.arange(max_len)[None, :]
         pad_bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)  # (B, max_len)
         stop_ids = jnp.asarray(stop_ids_arr)
@@ -252,7 +317,7 @@ def pp_generate(
                 h, ck_c, cv_c = carry
                 h_out, ck2, cv2 = _run_stage_layers_cached(
                     layers_stage, tcfg, h, cos_b, sin_b, ck_c, cv_c,
-                    bias_old, bias_new, write_pos,
+                    bias_old, bias_new, write_pos, tp_axis=tp_axis,
                 )
                 active = sid == p
                 ck_c = jnp.where(active, ck2, ck_c)
@@ -329,7 +394,8 @@ def pp_generate(
         state = jax.lax.while_loop(cond, body, state)
         return state[3][None]  # (1, B, max_new), identical on every stage
 
-    spec_layers = jax.tree.map(lambda _: P(STAGE_AXIS), staged)
+    tp = dict(mesh.shape).get(MODEL_AXIS, 1)
+    spec_layers = _stage_tp_specs(staged, tp)
     fn = jax.shard_map(
         stage_fn,
         mesh=mesh,
@@ -350,7 +416,7 @@ class PPEngine:
     G-way groups expand to G rows (no shared-prefix cache trick across
     stages)."""
 
-    def __init__(self, params, cfg, n_stages: int, dtype=jnp.bfloat16, devices=None):
+    def __init__(self, params, cfg, n_stages: int, dtype=jnp.bfloat16, devices=None, tp: int = 1):
         import functools
 
         from jax.sharding import NamedSharding
@@ -360,12 +426,19 @@ class PPEngine:
         assert cfg.text.num_hidden_layers % n_stages == 0, (
             cfg.text.num_hidden_layers, n_stages,
         )
-        self.mesh = make_pp_mesh(n_stages, devices)
+        if tp > 1:
+            # Megatron TP inside each stage: contiguous head splits keep each
+            # GQA group on one device iff tp divides the kv head count
+            assert cfg.text.num_key_value_heads % tp == 0, (
+                cfg.text.num_key_value_heads, tp,
+            )
+            assert cfg.text.num_attention_heads % tp == 0
+        self.mesh = make_pp_mesh(n_stages, tp, devices)
         self.cfg = cfg
         self.dtype = dtype
-        # decoder layers: ONE stage-sharded resident copy
+        # decoder layers: ONE (stage, model)-sharded resident copy
         staged = _stack_stages(params["text"]["layers"], n_stages)
-        self.staged = jax.device_put(staged, NamedSharding(self.mesh, P(STAGE_AXIS)))
+        self.staged = jax.device_put(staged, _stage_tp_specs(staged, tp, mesh=self.mesh))
         rep = NamedSharding(self.mesh, P())
         self.rest = jax.device_put(
             {
