@@ -137,3 +137,20 @@ def test_pp_tp_compose_matches_bucket_greedy(jx_params):  # noqa: F811
     assert len(qw.sharding.device_set) == 4
     got = pp.generate(reqs, sp)
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 virtual devices")
+def test_pp_int8_matches_single_device_int8(jx_params):  # noqa: F811
+    """PP × --quantization int8: the stage-sharded fused-int8 decode tree
+    must greedy-match the single-device int8 engine exactly (same
+    quantize_params tree, same per-layer math, relayed over stages)."""
+    rng = np.random.default_rng(9)
+    reqs = [Request(input_ids=list(rng.integers(2, 200, int(n)))) for n in (10, 6)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_token_ids=CFG.stop_token_ids)
+    want = Engine(jx_params, CFG, dtype=jnp.float32, quantization="int8").generate(reqs, sp)
+    pp = PPEngine(jx_params, CFG, n_stages=2, dtype=jnp.float32, quantization="int8")
+    got = pp.generate(reqs, sp)
+    assert got == want
+
+    with pytest.raises(ValueError, match="TP×PP with --quantization"):
+        PPEngine(jx_params, CFG, n_stages=2, tp=2, quantization="int8")

@@ -150,8 +150,13 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
                     f"needs {pp * tp_in_pp} devices but only {len(jax.devices())} exist"
                 )
             # TP×PP composes (vLLM -tp × -pp): Megatron-split layers inside
-            # each stage over a (stage, model) mesh
-            pp_engine = PPEngine(params, cfg, n_stages=pp, tp=tp_in_pp)
+            # each stage over a (stage, model) mesh; --quantization composes
+            # with pure PP (fused int8 columns cannot TP-split — explicit
+            # error inside PPEngine)
+            pp_engine = PPEngine(
+                params, cfg, n_stages=pp, tp=tp_in_pp,
+                quantization=getattr(args, "quantization", "") or "",
+            )
             processor = Qwen25VLProcessor.from_pretrained(args.model_base)
             # no bucket engine in PP mode: the point of PP is that the FULL
             # tree does not fit one chip (prob-based MCQ scoring uses the

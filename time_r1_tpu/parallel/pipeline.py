@@ -210,6 +210,18 @@ def pp_decoder_layers(
 # ---------------------------------------------------------------------------
 
 
+def _local_heads(layers_stage: dict, cfg: TextConfig) -> tuple[int, int]:
+    """LOCAL (nh, nkv) from the (possibly TP-sliced) weight shapes. Fused
+    quantized trees ('qkv' entry) are never TP-split → cfg head counts."""
+    attn = layers_stage["self_attn"]
+    if "qkv" in attn:
+        return cfg.num_attention_heads, cfg.num_key_value_heads
+    qw, kw = attn["q_w"], attn["k_w"]
+    q_out = qw["q8"].shape[-1] if isinstance(qw, dict) else qw.shape[-1]
+    k_out = kw["q8"].shape[-1] if isinstance(kw, dict) else kw.shape[-1]
+    return q_out // cfg.head_dim, k_out // cfg.head_dim
+
+
 def _run_stage_layers_cached(
     layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, ck, cv, bias_old, bias_new,
     write_pos, tp_axis=None,
@@ -227,12 +239,7 @@ def _run_stage_layers_cached(
     hd = cfg.head_dim
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
-    # LOCAL head counts from the (possibly TP-sliced) weight shapes
-    qw = layers_stage["self_attn"]["q_w"]
-    kw = layers_stage["self_attn"]["k_w"]
-    q_out = qw["q8"].shape[-1] if isinstance(qw, dict) else qw.shape[-1]
-    k_out = kw["q8"].shape[-1] if isinstance(kw, dict) else kw.shape[-1]
-    nh, nkv = q_out // hd, k_out // hd
+    nh, nkv = _local_heads(layers_stage, cfg)
 
     def maybe_psum(x):
         return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
@@ -300,8 +307,7 @@ def pp_generate(
         dtype = embeds.dtype
         # LOCAL kv head count: under TP×PP the k/v columns are model-sliced,
         # so each device caches only its own kv heads
-        kw = layers_stage["self_attn"]["k_w"]
-        nkv_loc = (kw["q8"].shape[-1] if isinstance(kw, dict) else kw.shape[-1]) // hd
+        _, nkv_loc = _local_heads(layers_stage, tcfg)
         ck = jnp.zeros((Lp, B, max_len, nkv_loc, hd), dtype)
         cv = jnp.zeros((Lp, B, max_len, nkv_loc, hd), dtype)
         kv_pos = jnp.arange(max_len)[None, :]
@@ -416,7 +422,10 @@ class PPEngine:
     G-way groups expand to G rows (no shared-prefix cache trick across
     stages)."""
 
-    def __init__(self, params, cfg, n_stages: int, dtype=jnp.bfloat16, devices=None, tp: int = 1):
+    def __init__(
+        self, params, cfg, n_stages: int, dtype=jnp.bfloat16, devices=None, tp: int = 1,
+        quantization: str = "",
+    ):
         import functools
 
         from jax.sharding import NamedSharding
@@ -426,6 +435,16 @@ class PPEngine:
         assert cfg.text.num_hidden_layers % n_stages == 0, (
             cfg.text.num_hidden_layers, n_stages,
         )
+        if quantization:
+            if tp > 1:
+                raise ValueError(
+                    "TP×PP with --quantization is unsupported: the quantized "
+                    "decode tree fuses qkv/gate-up columns, which cannot be "
+                    "contiguously column-split over the model axis"
+                )
+            from ..ops.quant import quantize_params
+
+            params = quantize_params(params, bits=4 if quantization == "int4" else 8)
         if tp > 1:
             # Megatron TP inside each stage: contiguous head splits keep each
             # GQA group on one device iff tp divides the kv head count
