@@ -97,11 +97,17 @@ def _stack_stages(layers: dict, n_stages: int) -> dict:
     return jax.tree.map(f, layers)
 
 
-def _run_stage_layers(layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, bias):
-    """Run one stage's layer group on one microbatch (no cache)."""
-    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+def _run_stage_layers(layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, bias, tp_axis=None):
+    """Run one stage's layer group on one microbatch (no cache). tp_axis:
+    Megatron TP inside the stage — local column/row weight slices, o-/down-
+    proj partials psum over the axis (see _run_stage_layers_cached)."""
+    nh, nkv = _local_heads(layers_stage, cfg)
+    hd = cfg.head_dim
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
 
     def layer(x, lp):
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
@@ -112,11 +118,13 @@ def _run_stage_layers(layers_stage, cfg: TextConfig, hidden, cos_b, sin_b, bias)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
         attn = mha_reference(q, k, v, bias=bias)
-        x = x + qmatmul(attn.reshape(B, S, nh * hd), lp["self_attn"]["o_w"])
+        x = x + maybe_psum(qmatmul(attn.reshape(B, S, nh * hd), lp["self_attn"]["o_w"]))
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + qmatmul(
-            jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
-            lp["mlp"]["down_w"],
+        x = x + maybe_psum(
+            qmatmul(
+                jax.nn.silu(qmatmul(h, lp["mlp"]["gate_w"])) * qmatmul(h, lp["mlp"]["up_w"]),
+                lp["mlp"]["down_w"],
+            )
         )
         return x, None
 
@@ -139,6 +147,7 @@ def pp_decoder_layers(
     B must divide into n_micro microbatches; L into mesh.shape['stage']
     stage groups."""
     n_stages = mesh.shape[STAGE_AXIS]
+    tp_axis = MODEL_AXIS if dict(mesh.shape).get(MODEL_AXIS, 1) > 1 else None
     B, S, H = embeds.shape
     assert B % n_micro == 0, (B, n_micro)
     mb = B // n_micro
@@ -171,7 +180,7 @@ def pp_decoder_layers(
             q_pos = jnp.arange(S)[:, None]
             bias = jnp.where(kv_pos <= q_pos, 0.0, NEG_INF).astype(jnp.float32)[None, None]
             bias = bias + jnp.where(msk > 0, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
-            h_out = _run_stage_layers(layers_stage, cfg, h_my, cos_b, sin_b, bias)
+            h_out = _run_stage_layers(layers_stage, cfg, h_my, cos_b, sin_b, bias, tp_axis)
             h_out = jnp.where(active, h_out, h_my)
             # last stage banks its finished microbatch
             m_done = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
@@ -192,7 +201,7 @@ def pp_decoder_layers(
         _, outputs = jax.lax.fori_loop(0, T, tick, (h0, out0))
         return outputs[None]  # (1, n_micro, mb, S, H) per stage
 
-    spec_layers = jax.tree.map(lambda _: P(STAGE_AXIS), staged)
+    spec_layers = _stage_tp_specs(staged, dict(mesh.shape).get(MODEL_AXIS, 1))
     fn = jax.shard_map(
         stage_fn,
         mesh=mesh,
