@@ -53,8 +53,10 @@ def get_args(argv=None):
     p.add_argument(
         "--tensor_parallel_size",
         type=int,
-        default=1,
-        help="shard the model over a TP mesh (vLLM TP parity, vllm_infer.py:50)",
+        default=None,
+        help="shard the model over a TP mesh (vLLM TP parity, vllm_infer.py:50). "
+        "Default: 1, or devices//pipeline_parallel_size under PP (the "
+        "reference's vLLM wrapper always composes TP×PP that way)",
     )
     p.add_argument(
         "--tp_group_index",
@@ -143,7 +145,16 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
 
             from ..parallel.pipeline import PPEngine
 
-            tp_in_pp = getattr(args, "tensor_parallel_size", 1)
+            tp_in_pp = getattr(args, "tensor_parallel_size", None)
+            if tp_in_pp is None:
+                # reference behavior: use ALL devices — tp = devices // pp
+                # (vllm_infer.py:50), clamped to a divisor of the kv heads
+                # (contiguous splits keep each GQA group on one device)
+                tp_in_pp = max(len(jax.devices()) // pp, 1)
+                while tp_in_pp > 1 and cfg.text.num_key_value_heads % tp_in_pp != 0:
+                    tp_in_pp -= 1
+                if getattr(args, "quantization", ""):
+                    tp_in_pp = 1  # fused int8 columns cannot TP-split
             if len(jax.devices()) < pp * tp_in_pp:
                 raise ValueError(
                     f"pipeline_parallel_size={pp} × tensor_parallel_size={tp_in_pp} "
@@ -162,7 +173,7 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
             # tree does not fit one chip (prob-based MCQ scoring uses the
             # bucket engine and is not available under PP)
             engine = None
-        tp = getattr(args, "tensor_parallel_size", 1)
+        tp = getattr(args, "tensor_parallel_size", None) or 1
         if pp <= 1 and tp > 1:
             # vLLM-TP parity (vllm_infer.py:50): shard attention heads / MLP
             # hidden over a pure-TP mesh; 7B eval fits by splitting weights
