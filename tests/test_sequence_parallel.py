@@ -88,3 +88,46 @@ def test_sp_decoder_zigzag_matches_plain(n):
     np.testing.assert_allclose(
         np.asarray(got)[valid], np.asarray(want)[valid], rtol=3e-5, atol=3e-5
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >= 2 virtual devices")
+@pytest.mark.parametrize("layout", ["zigzag", "contiguous"])
+def test_grpo_loss_cp_matches_plain(layout):
+    """The context-parallel GRPO loss forward (grpo_loss(cp=...), wired to
+    --context_parallel_size) must match the plain full-row loss AND its
+    parameter gradients — the reachable-API check for SURVEY §5.7's
+    long-context stretch goal."""
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.rl import GRPOHyperParams, build_grpo_batch_groups
+    from time_r1_tpu.rl.grpo import grpo_loss
+
+    n = 2
+    mesh = _mesh(n)
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(31)
+    G = 2
+    groups = [
+        {
+            "prompt_ids": list(rng.integers(2, 200, 9)),
+            "completions": [
+                list(rng.integers(2, 200, 4)) + [CFG.eos_token_id] for _ in range(G)
+            ],
+            "advantages": rng.normal(size=G).astype(np.float32),
+        }
+    ]
+    mult = (2 if layout == "zigzag" else 1) * n * 128
+    batch = build_grpo_batch_groups(CFG, groups, dtype=jnp.float32, pad_multiple=mult)
+    assert batch.input_ids.shape[1] % mult == 0
+    hp = GRPOHyperParams(num_generations=G, beta=0.0, use_grpo=False, fix_vit=True)
+
+    (l_p, m_p), g_p = jax.value_and_grad(
+        lambda p: grpo_loss(p, CFG, hp, batch), has_aux=True
+    )(params)
+    (l_c, m_c), g_c = jax.value_and_grad(
+        lambda p: grpo_loss(p, CFG, hp, batch, cp=(mesh, "data", layout)), has_aux=True
+    )(params)
+    np.testing.assert_allclose(float(l_c), float(l_p), rtol=3e-5, atol=3e-6)
+    for k in m_p:
+        np.testing.assert_allclose(float(m_c[k]), float(m_p[k]), rtol=3e-4, atol=3e-5)
+    for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=8e-4, atol=8e-5)

@@ -126,6 +126,22 @@ def get_args(argv=None):
         help="model-axis size of the training mesh; the data axis takes the "
         "remaining devices (FSDP/example-DP — DeepSpeed+torchrun parity)",
     )
+    p.add_argument(
+        "--context_parallel_size",
+        type=int,
+        default=1,
+        help="shard the loss-forward SEQUENCE over the data axis via ring "
+        "attention (O(T/n) activation HBM — video contexts past one chip; "
+        "must equal the mesh data axis; uses the full-row batch layout)",
+    )
+    p.add_argument(
+        "--context_parallel_layout",
+        type=str,
+        default="zigzag",
+        choices=["zigzag", "contiguous"],
+        help="zig-zag pairs chunk r with 2n-1-r so every shard does the same "
+        "causal attention work",
+    )
     return p.parse_args(argv)
 
 
@@ -203,6 +219,8 @@ def _run(args, trainer, mesh, dataset):
             lora_r=args.lora_r,
             lora_alpha=args.lora_alpha,
             rollout_quantization=args.rollout_quantization,
+            context_parallel_size=getattr(args, "context_parallel_size", 1),
+            context_parallel_layout=getattr(args, "context_parallel_layout", "zigzag"),
             prompt_type=args.prompt_type,
             logging_steps=args.logging_steps,
             save_steps=args.save_steps,

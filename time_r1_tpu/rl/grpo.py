@@ -91,9 +91,15 @@ def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.nd
 
 def _hidden_states(
     params, cfg: Qwen25VLConfig, batch: GRPOBatch, remat: bool = False,
-    fix_vit: bool = False,
+    fix_vit: bool = False, cp=None,
 ) -> jnp.ndarray:
-    """Embed + merge vision + run decoder → final hidden (B, T, H)."""
+    """Embed + merge vision + run decoder → final hidden (B, T, H).
+
+    cp=(mesh, axis_name, layout): context parallelism — the decoder runs
+    sequence-sharded over the mesh axis via ring attention
+    (parallel/ring_attention.sequence_parallel_decoder; layout 'contiguous'
+    or the balanced 'zigzag'), O(T/n) activation HBM per device. The vision
+    tower and the embed/merge stay replicated (they are prefill-sized)."""
     embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], batch.input_ids, axis=0)
     if batch.vision is not None:
         v = batch.vision
@@ -112,6 +118,15 @@ def _hidden_states(
         embeds = merge_vision_embeddings(
             embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id),
             feature_offset=batch.feat_offsets if batch.feat_offsets is not None else 0,
+        )
+    if cp is not None:
+        from ..parallel.ring_attention import sequence_parallel_decoder
+
+        mesh, axis_name, layout = cp
+        return sequence_parallel_decoder(
+            params["text"], cfg.text, embeds, batch.position_ids,
+            batch.attention_mask, mesh, axis_name=axis_name, remat=remat,
+            layout=layout,
         )
     hidden, _ = decoder_forward(
         params["text"], cfg.text, embeds, batch.position_ids,
@@ -209,14 +224,16 @@ def per_token_logps_entropy(
     return logps, ents
 
 
-def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch) -> jnp.ndarray:
+def compute_ref_logps(
+    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch, cp=None
+) -> jnp.ndarray:
     """Per-token logps under reference weights (no grad)."""
     # fix_vit passed through for numeric symmetry with the policy forward
     # (same vision kernel choice → the KL sees identical vision features)
     if isinstance(batch, GRPOSplitBatch):
         logps, _ = _split_logps_entropy(params, cfg, hp, batch, fix_vit=hp.fix_vit)
         return logps
-    hidden = _hidden_states(params, cfg, batch, fix_vit=hp.fix_vit)
+    hidden = _hidden_states(params, cfg, batch, fix_vit=hp.fix_vit, cp=cp)
     logps, _ = per_token_logps_entropy(
         params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
     )
@@ -224,11 +241,15 @@ def compute_ref_logps(params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch) -
 
 
 def grpo_loss(
-    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch
+    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch, cp=None
 ) -> tuple[jnp.ndarray, dict]:
     """Loss + metrics for one batch (GRPOBatch full rows, or GRPOSplitBatch
-    via the shared-prefix forward). Differentiable in `params`."""
+    via the shared-prefix forward). Differentiable in `params`.
+
+    cp=(mesh, axis, layout): context-parallel decoder forward (full-row
+    batches only — the shared-prefix layout has its own factorization)."""
     if isinstance(batch, GRPOSplitBatch):
+        assert cp is None, "context parallelism covers the full-row layout"
         logps, entropy = _split_logps_entropy(
             params, cfg, hp, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
         )
@@ -237,7 +258,8 @@ def grpo_loss(
         comp_len = batch.comp_mask.sum(axis=1).astype(jnp.float32)
     else:
         hidden = _hidden_states(
-            params, cfg, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
+            params, cfg, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit,
+            cp=cp,
         )
         logps, entropy = per_token_logps_entropy(
             params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
@@ -286,14 +308,17 @@ def grpo_loss(
     return loss, metrics
 
 
-def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_state_sharding=None):
+def make_train_step(
+    cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_state_sharding=None, cp=None
+):
     """Build the jitted (pjit-compatible) train step:
     (params, opt_state, batch) → (params, opt_state, loss, metrics).
 
     fix_vit: gradients for the vision tower (except merger) are zeroed
     (timer1_trainer.py:272-288 capability).
     opt_state_sharding: optional sharding pytree pinning the optimizer state
-    (e.g. to pinned host memory — ZeRO-offload capability parity)."""
+    (e.g. to pinned host memory — ZeRO-offload capability parity).
+    cp=(mesh, axis, layout): sequence-sharded (ring attention) loss forward."""
 
     def zero_frozen(tree):
         """fix_vit: ViT patch-embed + blocks frozen; merger stays trainable
@@ -308,7 +333,7 @@ def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_sta
 
     def train_step(params, opt_state, batch: GRPOBatch):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: grpo_loss(p, cfg, hp, batch), has_aux=True
+            lambda p: grpo_loss(p, cfg, hp, batch, cp=cp), has_aux=True
         )(params)
         grads = zero_frozen(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -330,7 +355,8 @@ def make_train_step(cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_sta
 
 
 def make_lora_train_step(
-    cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, lora_cfg, opt_state_sharding=None
+    cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, lora_cfg,
+    opt_state_sharding=None, cp=None,
 ):
     """LoRA train step (N9 parity: peft wrapping, timer1_trainer.py:264-265):
     (base_params, lora, opt_state, batch) → (lora, opt_state, loss, metrics).
@@ -344,7 +370,7 @@ def make_lora_train_step(
     def train_step(base_params, lora, opt_state, batch: GRPOBatch):
         def loss_fn(lora):
             merged = merge_lora(base_params, lora, lora_cfg)
-            return grpo_loss(merged, cfg, hp, batch)
+            return grpo_loss(merged, cfg, hp, batch, cp=cp)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora)
         updates, opt_state = optimizer.update(grads, opt_state, lora)

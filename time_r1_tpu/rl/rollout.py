@@ -82,6 +82,7 @@ def build_grpo_batch_groups(
     groups: Sequence[dict],
     pad_to: Optional[int] = None,
     dtype=jnp.bfloat16,
+    pad_multiple: Optional[int] = None,  # context parallelism: T % (2n·128) == 0
 ) -> GRPOBatch:
     """Example-level data-parallel batch: P prompt groups × G rollouts each →
     (P·G, T) rows, group-major. Each group dict carries prompt_ids,
@@ -99,6 +100,8 @@ def build_grpo_batch_groups(
         Cmax = max((len(c) for c in g["completions"]), default=1)
         need = max(need, len(g["prompt_ids"]) + Cmax)
     T = pad_to or _bucket(need)
+    if pad_multiple:
+        T = -(-T // pad_multiple) * pad_multiple
     assert T >= need
 
     rows_ids, rows_attn, rows_comp, rows_adv = [], [], [], []

@@ -110,6 +110,12 @@ class TrainConfig:
     # fewer loss-forward FLOPs at recipe shapes; bit-matches the full-row path
     # (tests/test_grpo.py::test_split_batch_loss_matches_full_rows)
     shared_prefix_loss: bool = True
+    # context parallelism (ring attention): shard the loss-forward SEQUENCE
+    # over the mesh data axis — O(T/n) activation HBM per device, for video
+    # contexts past one chip (SURVEY §5.7 stretch goal, beyond the reference).
+    # Uses the full-row batch layout (shared_prefix_loss is turned off).
+    context_parallel_size: int = 1
+    context_parallel_layout: str = "zigzag"  # or "contiguous"
     prompt_type: str = "v1"
     total_pixels: int = 3584 * 28 * 28
     min_pixels: int = 16 * 28 * 28
@@ -214,6 +220,20 @@ class GRPOTrainer:
             fix_vit=config.fix_vit,
             gradient_checkpointing=config.gradient_checkpointing,
         )
+        self._cp = None
+        if config.context_parallel_size > 1:
+            from ..parallel.mesh import DATA_AXIS
+
+            if mesh is None:
+                raise ValueError("context_parallel_size > 1 needs a device mesh")
+            if mesh.shape[DATA_AXIS] != config.context_parallel_size:
+                raise ValueError(
+                    f"context_parallel_size={config.context_parallel_size} must equal "
+                    f"the mesh data axis ({mesh.shape[DATA_AXIS]})"
+                )
+            # CP shards the SEQUENCE; the loss runs on full concatenated rows
+            config.shared_prefix_loss = False
+            self._cp = (mesh, DATA_AXIS, config.context_parallel_layout)
         self._setup_optimizer(config.learning_rate)
         self._metrics: dict[str, list] = {}
         self.global_step = 0
@@ -265,13 +285,15 @@ class GRPOTrainer:
                 opt_sharding = jax.tree.map(lambda _: host, self.opt_state)
             except Exception as e:
                 print(f"[trainer] optimizer host-offload unavailable on this backend: {e}")
+        cp = getattr(self, "_cp", None)
         if self.lora is not None:
             self._train_step = make_lora_train_step(
-                self.cfg, self.hp, self.optimizer, self.lora_cfg, opt_state_sharding=opt_sharding
+                self.cfg, self.hp, self.optimizer, self.lora_cfg,
+                opt_state_sharding=opt_sharding, cp=cp,
             )
         else:
             self._train_step = make_train_step(
-                self.cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding
+                self.cfg, self.hp, self.optimizer, opt_state_sharding=opt_sharding, cp=cp
             )
 
     # ------------------------------------------------------------------
@@ -445,14 +467,24 @@ class GRPOTrainer:
         if c.shared_prefix_loss:
             batch = build_grpo_split_batch(self.cfg, groups, dtype=self.dtype)
         else:
-            batch = build_grpo_batch_groups(self.cfg, groups, dtype=self.dtype)
-        if self.mesh is not None:
+            pad_multiple = None
+            if self._cp is not None:
+                # zig-zag half-chunks (or contiguous chunks) must be
+                # flash-block aligned across the sequence shards
+                n = c.context_parallel_size
+                pad_multiple = (2 if c.context_parallel_layout == "zigzag" else 1) * n * 128
+            batch = build_grpo_batch_groups(
+                self.cfg, groups, dtype=self.dtype, pad_multiple=pad_multiple
+            )
+        if self.mesh is not None and self._cp is None:
             batch = self._shard_batch(
                 batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
             )
         if self.ref_params is not None:
             with self.timers.phase("ref_logps"):
-                ref_logps = compute_ref_logps(self.ref_params, self.cfg, self.hp, batch)
+                ref_logps = compute_ref_logps(
+                    self.ref_params, self.cfg, self.hp, batch, cp=self._cp
+                )
             batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
 
         with self.timers.phase("train_step"):
