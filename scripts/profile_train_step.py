@@ -32,6 +32,13 @@ def main():
     from time_r1_tpu.rl.grpo import grpo_loss
 
     cfg = Qwen25VLConfig.qwen25vl_3b()
+    n_layers = int(os.environ.get("TIMER1_PROFILE_LAYERS", "0"))
+    if n_layers:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, num_hidden_layers=n_layers)
+        )
     shapes = jax.eval_shape(
         lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
     )
@@ -62,6 +69,10 @@ def main():
             "second_per_grid_t": 1.0,
         }
     ]
+    if os.environ.get("TIMER1_PROFILE_NOVISION", "0") == "1":
+        groups[0]["prompt_ids"] = list(rng.integers(2, 100000, len(prompt)))
+        for key in ("patches", "grid_thw", "second_per_grid_t"):
+            del groups[0][key]
     hp = GRPOHyperParams(
         num_generations=G, beta=0.0, use_grpo=False, fix_vit=True,
         gradient_checkpointing=True,
@@ -108,21 +119,35 @@ def main():
         print(f"[{name}] {what} = {best*1e3:.0f} ms (compile {compile_s:.0f} s)")
         return best
 
-    split = build_grpo_split_batch(cfg, groups, dtype=jnp.bfloat16)
+    which = os.environ.get("TIMER1_PROFILE_WHICH", "both")  # split | full | both
+    from time_r1_tpu.rl.grpo import precompute_frozen_vision
+
+    def maybe_precompute(b):
+        # mirrors GRPOTrainer.step_batch: fix_vit → frozen ViT blocks run as
+        # their own program, the loss program gets pre-merger hidden states
+        if hp.fix_vit and os.environ.get("TIMER1_PROFILE_NO_PRECOMPUTE", "0") != "1":
+            b = precompute_frozen_vision(params, cfg, b)
+            jax.block_until_ready(b.vision_hidden) if b.vision_hidden is not None else None
+        return b
+
+    split = maybe_precompute(build_grpo_split_batch(cfg, groups, dtype=jnp.bfloat16))
     sname = (
         f"split  P=1 Lp={split.prompt_ids.shape[1]} B={split.comp_ids.shape[0]} "
         f"Lc={split.comp_ids.shape[1]}"
     )
-    t_split = bench(sname, split)
-    full = build_grpo_batch_groups(cfg, groups, dtype=jnp.bfloat16)
+    full = maybe_precompute(build_grpo_batch_groups(cfg, groups, dtype=jnp.bfloat16))
     fname = f"full   B={full.input_ids.shape[0]} T={full.input_ids.shape[1]}"
-    t_full = bench(fname, full)
-    print(f"forward speedup: {t_full / t_split:.2f}x")
+    if os.environ.get("TIMER1_PROFILE_FWD", "1") == "1":
+        t_split = bench(sname, split) if which in ("split", "both") else None
+        t_full = bench(fname, full) if which in ("full", "both") else None
+        if t_split and t_full:
+            print(f"forward speedup: {t_full / t_split:.2f}x")
     if os.environ.get("TIMER1_PROFILE_LORA", "1") == "1":
         try:
-            ts = bench(sname, split, grad_leaf=True)
-            tf = bench(fname, full, grad_leaf=True)
-            print(f"LoRA fwd+bwd speedup: {tf / ts:.2f}x")
+            ts = bench(sname, split, grad_leaf=True) if which in ("split", "both") else None
+            tf = bench(fname, full, grad_leaf=True) if which in ("full", "both") else None
+            if ts and tf:
+                print(f"LoRA fwd+bwd speedup: {tf / ts:.2f}x")
         except Exception as e:  # 16 GB chip: the full-row bwd may not fit
             print(f"LoRA fwd+bwd: {type(e).__name__}: {str(e)[:200]}")
 

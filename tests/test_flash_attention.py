@@ -8,7 +8,11 @@ import jax
 import jax.numpy as jnp
 
 from time_r1_tpu.ops.attention import mha_reference
-from time_r1_tpu.ops.flash_attention import NEG_INF, flash_attention
+from time_r1_tpu.ops.flash_attention import (
+    NEG_INF,
+    flash_attention,
+    flash_attention_shared_prefix,
+)
 
 
 def _ref_with_kv_bias(q, k, v, kv_bias, causal, q_offset=0):
@@ -75,3 +79,62 @@ def test_flash_gradients_match_reference():
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Shared-prefix kernel: B = P·R rows attend [their prompt's prefix | own
+# causal chunk]; backward must sum each prompt's prefix grads over its R rows
+# ---------------------------------------------------------------------------
+
+
+def _ref_shared_prefix(q, kp, vp, ko, vo, prefix_bias):
+    B, Sc = q.shape[0], q.shape[1]
+    P, Lp = kp.shape[0], kp.shape[1]
+    R = B // P
+    k_all = jnp.concatenate([jnp.repeat(kp, R, axis=0), ko], axis=1)
+    v_all = jnp.concatenate([jnp.repeat(vp, R, axis=0), vo], axis=1)
+    kv_bias = jnp.concatenate(
+        [jnp.repeat(prefix_bias, R, axis=0), jnp.zeros((B, Sc), jnp.float32)], axis=1
+    )
+    return _ref_with_kv_bias(q, k_all, v_all, kv_bias, True, q_offset=Lp)
+
+
+def _sp_inputs(P=2, R=3, Lp=256, Sc=128, H=4, Hkv=2, D=64, n_pad=32, seed=2):
+    rng = np.random.default_rng(seed)
+    B = P * R
+    q = jnp.asarray(rng.normal(size=(B, Sc, H, D)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(P, Lp, Hkv, D)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(P, Lp, Hkv, D)), jnp.float32)
+    ko = jnp.asarray(rng.normal(size=(B, Sc, Hkv, D)), jnp.float32)
+    vo = jnp.asarray(rng.normal(size=(B, Sc, Hkv, D)), jnp.float32)
+    prefix_bias = jnp.zeros((P, Lp), jnp.float32)
+    if n_pad:
+        prefix_bias = prefix_bias.at[0, :n_pad].set(NEG_INF)  # ragged prompts
+    return q, kp, vp, ko, vo, prefix_bias
+
+
+@pytest.mark.parametrize("R", [1, 3])
+def test_shared_prefix_forward_matches_reference(R):
+    q, kp, vp, ko, vo, prefix_bias = _sp_inputs(R=R)
+    out = flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias)
+    want = _ref_shared_prefix(q, kp, vp, ko, vo, prefix_bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_shared_prefix_gradients_match_reference():
+    q, kp, vp, ko, vo, prefix_bias = _sp_inputs(Lp=128, Sc=128, R=2)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    def f_sp(q, kp, vp, ko, vo):
+        return jnp.sum(flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias) * g)
+
+    def f_ref(q, kp, vp, ko, vo):
+        return jnp.sum(_ref_shared_prefix(q, kp, vp, ko, vo, prefix_bias) * g)
+
+    got = jax.grad(f_sp, argnums=(0, 1, 2, 3, 4))(q, kp, vp, ko, vo)
+    want = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(q, kp, vp, ko, vo)
+    for name, a, b in zip("q kp vp ko vo".split(), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )

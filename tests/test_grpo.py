@@ -302,3 +302,45 @@ def test_mixed_video_and_text_groups(params, split):
     )
     loss2, _ = grpo_loss(params, CFG, hp, other)
     np.testing.assert_allclose(float(loss), float(loss2), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_precompute_frozen_vision_matches_inline(params, split):
+    """fix_vit: running the frozen ViT blocks as their own program
+    (precompute_frozen_vision → batch.vision_hidden; the loss runs only the
+    trainable merger) must match the inline vision_forward path bitwise —
+    loss, metrics AND grads (merger grads flow either way, blocks get none)."""
+    from time_r1_tpu.rl import build_grpo_batch_groups
+    from time_r1_tpu.rl.grpo import precompute_frozen_vision
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    hp = GRPOHyperParams(num_generations=3, beta=0.0, use_grpo=False, fix_vit=True)
+    groups = _mk_groups(True, G=3, P=2)
+    build = build_grpo_split_batch if split else build_grpo_batch_groups
+    inline = build(CFG, groups, dtype=jnp.float32)
+    pre = precompute_frozen_vision(params, CFG, inline)
+    assert pre.vision_hidden is not None
+    assert precompute_frozen_vision(params, CFG, pre) is pre  # idempotent
+
+    def loss_fn(p, b):
+        return grpo_loss(p, CFG, hp, b)
+
+    (l_i, m_i), g_i = jax.value_and_grad(loss_fn, has_aux=True)(params, inline)
+    (l_p, m_p), g_p = jax.value_and_grad(loss_fn, has_aux=True)(params, pre)
+    np.testing.assert_allclose(float(l_i), float(l_p), rtol=1e-6, atol=1e-7)
+    for k in m_i:
+        np.testing.assert_allclose(float(m_i[k]), float(m_p[k]), rtol=1e-5, atol=1e-6)
+    # merger grads present and equal; frozen block grads zero in BOTH paths
+    for (path_i, a), (path_p, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_i)[0],
+        jax.tree_util.tree_flatten_with_path(g_p)[0],
+    ):
+        assert path_i == path_p
+        name = jax.tree_util.keystr(path_i)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
+        )
+        if "blocks" in name or "patch_embed" in name:
+            assert float(jnp.abs(a).max()) == 0.0, name
+    merger_g = g_p["visual"]["merger"]["fc1"]["kernel"]
+    assert float(jnp.abs(merger_g).max()) > 0

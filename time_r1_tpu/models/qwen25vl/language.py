@@ -402,10 +402,12 @@ def shared_decode_forward(
     exists and none is returned. Differentiable end-to-end: the backward
     accumulates each prompt's prefix gradient across its R rows (the whole
     point — the prompt forward runs once per prompt, not once per row).
-    On TPU with 128-aligned Lp/S this path rides the Pallas flash kernel
-    (q_offset = Lp over a per-layer [broadcast prefix | chunk] KV concat —
-    the (B, H, S, Lp) logits never materialize; the concat is a ~16 MB/layer
-    transient and its VJP sums the prefix gradient over the R rows)."""
+    On TPU with 128-aligned Lp/S this path rides the shared-prefix Pallas
+    flash kernel (ops/flash_attention.flash_attention_shared_prefix): the
+    prefix K/V are kernel operands once per prompt (BlockSpec b → b//R), so
+    no per-layer repeat/concat materializes, the (B, H, S, Lp) logits never
+    hit HBM, and the backward sums the prefix gradient over the R rows
+    inside the kernel."""
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
@@ -435,12 +437,6 @@ def shared_decode_forward(
         and _flash_eligible(cfg, S)
         and Lp % 128 == 0
     ) if use_flash is None else use_flash
-    if flash_chunk:
-        P = prefix.k.shape[1]
-        R = B // P
-        kv_bias_flash = jnp.concatenate(
-            [jnp.repeat(prefix_bias, R, axis=0), jnp.zeros((B, S), jnp.float32)], axis=1
-        )
 
     def layer(x, scanned):
         if quant:
@@ -457,11 +453,14 @@ def shared_decode_forward(
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
         if flash_chunk:
-            from ...ops.flash_attention import flash_attention
+            from ...ops.flash_attention import flash_attention_shared_prefix
 
-            k_all = jnp.concatenate([jnp.repeat(kp.astype(q.dtype), R, axis=0), k], axis=1)
-            v_all = jnp.concatenate([jnp.repeat(vp.astype(q.dtype), R, axis=0), v], axis=1)
-            attn = flash_attention(q, k_all, v_all, kv_bias_flash, True, None, Lp)
+            # prefix K/V enter ONCE PER PROMPT — the kernel routes them to the
+            # R rows of each group via its index maps and sums the prefix
+            # gradient over the rows in-kernel (no jnp.repeat/concat per layer)
+            attn = flash_attention_shared_prefix(
+                q, kp.astype(q.dtype), vp.astype(q.dtype), k, v, prefix_bias
+            )
         else:
             attn = mha_shared_prefix(
                 q, kp, vp, kps, vps, ko, vo, kos, vos, k, v, bias_pref, bias_own, bias_new

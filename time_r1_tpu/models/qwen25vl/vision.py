@@ -231,6 +231,12 @@ def vision_forward(
     """Run the vision tower; returns merged features (U_pad, out_hidden_size)
     in ORIGINAL merge-unit order.
 
+    Composition of `vision_blocks_forward` (patch embed + 32 blocks) and
+    `vision_merge_forward` (merger MLP + reverse gather) — split so the
+    trainer can run the FROZEN blocks as their own jit program under fix_vit
+    (rl/grpo.precompute_frozen_vision) while the trainable merger stays
+    inside the loss.
+
     freeze_blocks (the trainer's fix_vit semantics, timer1_trainer.py:272-288):
     stop_gradient after the block scan, so the backward pass SKIPS the 32
     ViT blocks entirely instead of computing gradients the optimizer would
@@ -248,6 +254,31 @@ def vision_forward(
     vs 116.7 ms/video at the bench shape — the uniform cond-scan body
     pipelines better than the two-body segment nest), so the cond is the
     default; kept for A/B (scripts/profile_vision.py)."""
+    x = vision_blocks_forward(
+        params, cfg, patches, prep_perm, prep_pos_hw, prep_key_valid,
+        prep_full_gather, prep_full_inverse,
+        use_window_kernel=use_window_kernel, segment_scan=segment_scan,
+    )
+    if freeze_blocks:
+        x = jax.lax.stop_gradient(x)
+    return vision_merge_forward(params, cfg, x, prep_reverse)
+
+
+def vision_blocks_forward(
+    params: dict,
+    cfg: VisionConfig,
+    patches: jnp.ndarray,
+    prep_perm: jnp.ndarray,
+    prep_pos_hw: jnp.ndarray,
+    prep_key_valid: jnp.ndarray,
+    prep_full_gather: jnp.ndarray,
+    prep_full_inverse: jnp.ndarray,
+    use_window_kernel: bool = False,
+    segment_scan: bool = False,
+) -> jnp.ndarray:
+    """Patch embed + 2D rope + the ViT block scan, in WINDOW-LAYOUT order;
+    returns pre-merger hidden states (P_pad, hidden_size). See vision_forward
+    for the flag semantics."""
     nh, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     scale = hd**-0.5
@@ -435,12 +466,19 @@ def vision_forward(
             return make_layer(attn_both)(x, lp)
 
         x, _ = jax.lax.scan(layer_cond, x, (blocks, fullatt))
-    if freeze_blocks:
-        x = jax.lax.stop_gradient(x)
+    return x
 
-    # merger: RMSNorm → group 2x2 units → MLP (GELU exact), in layout order
+
+def vision_merge_forward(
+    params: dict, cfg: VisionConfig, x: jnp.ndarray, prep_reverse: jnp.ndarray
+) -> jnp.ndarray:
+    """Merger on pre-merger hidden states (vision_blocks_forward output):
+    RMSNorm → group 2x2 units → MLP (GELU exact) → reverse gather back to
+    ORIGINAL merge-unit order. The only trainable vision piece under fix_vit."""
     mparams = params["merger"]
-    h = _rms_norm(x, mparams["ln_q"]["scale"], eps).reshape(-1, cfg.hidden_size * cfg.merge_unit)
+    h = _rms_norm(x, mparams["ln_q"]["scale"], cfg.rms_norm_eps).reshape(
+        -1, cfg.hidden_size * cfg.merge_unit
+    )
     h = h @ mparams["fc1"]["kernel"] + mparams["fc1"]["bias"]
     h = jax.nn.gelu(h, approximate=False)
     h = h @ mparams["fc2"]["kernel"] + mparams["fc2"]["bias"]

@@ -19,6 +19,8 @@ Reference semantics (timer1_trainer.py:512-782, timer1_trainer_ft.py:537-857):
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -29,7 +31,11 @@ import numpy as np
 from ..models.qwen25vl import Qwen25VLConfig, VisionInputs
 from ..models.qwen25vl.language import KVCache, decoder_forward, shared_decode_forward
 from ..models.qwen25vl.model import merge_vision_embeddings
-from ..models.qwen25vl.vision import vision_forward
+from ..models.qwen25vl.vision import (
+    vision_blocks_forward,
+    vision_forward,
+    vision_merge_forward,
+)
 
 
 @dataclass(frozen=True)
@@ -58,6 +64,10 @@ class GRPOBatch(NamedTuple):
     # point at the same feature span, so the ViT runs once per unique video
     # (the reference reruns it over every B·G row, timer1_trainer.py:601-607)
     feat_offsets: Optional[jnp.ndarray] = None
+    # fix_vit: pre-merger hidden states from precompute_frozen_vision — the
+    # frozen ViT blocks run OUTSIDE the grad program (see that docstring);
+    # when set, the loss forward runs only the trainable merger
+    vision_hidden: Optional[jnp.ndarray] = None
 
 
 class GRPOSplitBatch(NamedTuple):
@@ -79,6 +89,7 @@ class GRPOSplitBatch(NamedTuple):
     vision: Optional[VisionInputs]  # UNIQUE videos' patches (one copy per video)
     ref_logps: Optional[jnp.ndarray]  # (B, Lc) or None when beta == 0
     feat_offsets: Optional[jnp.ndarray] = None  # (P,) feature-row start per prompt
+    vision_hidden: Optional[jnp.ndarray] = None  # see GRPOBatch.vision_hidden
 
 
 def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.ndarray:
@@ -87,6 +98,60 @@ def compute_group_advantages(rewards: np.ndarray, num_generations: int) -> np.nd
     mean = r.mean(axis=1, keepdims=True)
     std = r.std(axis=1, ddof=1, keepdims=True)
     return ((r - mean) / (std + 1e-4)).reshape(-1)
+
+
+def _vision_feats(params, cfg: Qwen25VLConfig, batch, fix_vit: bool) -> jnp.ndarray:
+    """Merged vision features for a batch, inside the loss program.
+
+    With batch.vision_hidden set (fix_vit: precompute_frozen_vision ran the
+    frozen blocks as their own program), only the trainable merger runs here.
+    Otherwise the full tower runs inline:
+    - fix_vit stops gradients at the ViT blocks so the backward pass skips
+      them (the optimizer zeroes those grads anyway; the merger stays
+      differentiable — timer1_trainer.py:272-288);
+    - frozen blocks need no VJP, so on TPU they may ride the fused Pallas
+      window-attention kernels (ops/vision_attention.py) — though embedding
+      those kernels in a grad program multiplies XLA's compile time ~5x,
+      which is why the trainer prefers the precompute path."""
+    v = batch.vision
+    if batch.vision_hidden is not None:
+        return vision_merge_forward(params["visual"], cfg.vision, batch.vision_hidden, v.reverse)
+    return vision_forward(
+        params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
+        v.key_valid, v.full_gather, v.full_inverse, v.reverse,
+        freeze_blocks=fix_vit,
+        use_window_kernel=fix_vit and jax.default_backend() == "tpu"
+        and os.environ.get("TIMER1_NO_VISION_KERNEL", "0") != "1",
+    )
+
+
+def precompute_frozen_vision(params, cfg: Qwen25VLConfig, batch):
+    """fix_vit capability: run the FROZEN ViT blocks as their own jit program
+    and attach the pre-merger hidden states to the batch (loss forwards then
+    run only the trainable merger — see _vision_feats).
+
+    Why a separate program: the 32-block vision graph embedded in the grad
+    program multiplied XLA's compile time ~5x (345 s vs 70 s at 8 decoder
+    layers with the Pallas window kernels; enough to crash the remote compile
+    helper at 36 layers), and the frozen blocks' output is reused by the
+    policy AND ref forwards — with KL enabled this also removes a whole
+    redundant ViT pass per step (ref.visual.blocks == policy.visual.blocks
+    forever under fix_vit: the optimizer zeroes their updates)."""
+    if batch.vision is None or batch.vision_hidden is not None:
+        return batch
+    v = batch.vision
+    x = _frozen_vision_jit(
+        params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw, v.key_valid,
+        v.full_gather, v.full_inverse,
+        use_window_kernel=jax.default_backend() == "tpu"
+        and os.environ.get("TIMER1_NO_VISION_KERNEL", "0") != "1",
+    )
+    return batch._replace(vision_hidden=x)
+
+
+_frozen_vision_jit = jax.jit(
+    vision_blocks_forward, static_argnames=("cfg", "use_window_kernel", "segment_scan")
+)
 
 
 def _hidden_states(
@@ -102,19 +167,7 @@ def _hidden_states(
     tower and the embed/merge stay replicated (they are prefill-sized)."""
     embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], batch.input_ids, axis=0)
     if batch.vision is not None:
-        v = batch.vision
-        # fix_vit: stop gradients at the ViT blocks so the backward pass
-        # skips them entirely (the optimizer zeroes those grads anyway;
-        # the merger stays differentiable — timer1_trainer.py:272-288).
-        # Frozen blocks need no VJP, so on TPU they also ride the fused
-        # Pallas window-attention kernel (ops/vision_attention.py) — the
-        # same ~20% vision-tower cut the serving path gets.
-        feats = vision_forward(
-            params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
-            v.key_valid, v.full_gather, v.full_inverse, v.reverse,
-            freeze_blocks=fix_vit,
-            use_window_kernel=fix_vit and jax.default_backend() == "tpu",
-        )
+        feats = _vision_feats(params, cfg, batch, fix_vit)
         embeds = merge_vision_embeddings(
             embeds, batch.input_ids, feats, (cfg.video_token_id, cfg.image_token_id),
             feature_offset=batch.feat_offsets if batch.feat_offsets is not None else 0,
@@ -153,13 +206,7 @@ def _split_logps_entropy(
     text = params["text"]
     embeds = jnp.take(text["embed_tokens"]["embedding"], batch.prompt_ids, axis=0)
     if batch.vision is not None:
-        v = batch.vision
-        feats = vision_forward(
-            params["visual"], cfg.vision, v.patches, v.perm, v.pos_hw,
-            v.key_valid, v.full_gather, v.full_inverse, v.reverse,
-            freeze_blocks=fix_vit,
-            use_window_kernel=fix_vit and jax.default_backend() == "tpu",
-        )
+        feats = _vision_feats(params, cfg, batch, fix_vit)
         embeds = merge_vision_embeddings(
             embeds, batch.prompt_ids, feats, (cfg.video_token_id, cfg.image_token_id),
             feature_offset=batch.feat_offsets if batch.feat_offsets is not None else 0,

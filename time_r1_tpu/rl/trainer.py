@@ -35,6 +35,7 @@ from .grpo import (
     compute_ref_logps,
     make_lora_train_step,
     make_train_step,
+    precompute_frozen_vision,
 )
 from .rollout import build_grpo_batch_groups, build_grpo_split_batch
 
@@ -480,6 +481,12 @@ class GRPOTrainer:
             batch = self._shard_batch(
                 batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
             )
+        if self.hp.fix_vit and batch.vision is not None:
+            # frozen ViT blocks run as their own program (compile + reuse:
+            # one pass serves the policy AND ref forwards — see
+            # grpo.precompute_frozen_vision)
+            with self.timers.phase("vision_frozen"):
+                batch = precompute_frozen_vision(self.params, self.cfg, batch)
         if self.ref_params is not None:
             with self.timers.phase("ref_logps"):
                 ref_logps = compute_ref_logps(
