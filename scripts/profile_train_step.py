@@ -91,14 +91,21 @@ def main():
             def run():
                 return sync(fn(params, batch))
         else:
-            from time_r1_tpu.rl.lora import LoRAConfig, init_lora, merge_lora
+            from time_r1_tpu.rl.lora import LoRAConfig, init_lora, lora_layers_tree
 
             lcfg = LoRAConfig(rank=16, alpha=32.0)
             lora = init_lora(params, lcfg, jax.random.PRNGKey(1), dtype=jnp.float32)
             lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
+
+            # in-scan per-layer merge (make_lora_train_step's path): no full
+            # merged tree in the grad program — the merged 3B copy OOMs 16 GB
+            def lora_loss(base, ad, b):
+                tree, _rest = lora_layers_tree(ad)
+                return grpo_loss(base, cfg, hp, b, lora=(tree, lcfg.scaling))[0]
+
             gfn = jax.jit(
                 lambda base, ad, b: jax.value_and_grad(
-                    lambda a: grpo_loss(merge_lora(base, a, lcfg), cfg, hp, b)[0]
+                    lambda a: lora_loss(base, a, b)
                 )(ad)
             )
 

@@ -344,3 +344,52 @@ def test_precompute_frozen_vision_matches_inline(params, split):
             assert float(jnp.abs(a).max()) == 0.0, name
     merger_g = g_p["visual"]["merger"]["fc1"]["kernel"]
     assert float(jnp.abs(merger_g).max()) > 0
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_inscan_lora_matches_full_merge(params, split):
+    """make_lora_train_step's in-scan per-layer merge (decoder adapters scan
+    with the layers; no full merged tree in the grad program — the 3B merged
+    copy OOMs a 16 GB chip) must match the merge-everything oracle: loss and
+    adapter grads identical."""
+    from time_r1_tpu.rl import build_grpo_batch_groups
+    from time_r1_tpu.rl.lora import LoRAConfig, init_lora, lora_layers_tree, merge_lora
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    hp = GRPOHyperParams(
+        num_generations=3, beta=0.0, use_grpo=False, fix_vit=True,
+        gradient_checkpointing=True,
+    )
+    groups = _mk_groups(True, G=3, P=2)
+    build = build_grpo_split_batch if split else build_grpo_batch_groups
+    batch = build(CFG, groups, dtype=jnp.float32)
+
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    lora = init_lora(params, lcfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
+    assert lora and all(k.startswith("text/layers/") for k in lora)
+    # B=0 at init makes the delta vanish — perturb so the paths must agree on
+    # a nontrivial merge
+    lora = jax.tree.map(lambda a: a + 0.01, lora)
+
+    def loss_inscan(ad):
+        tree, rest = lora_layers_tree(ad)
+        assert not rest
+        return grpo_loss(params, CFG, hp, batch, lora=(tree, lcfg.scaling))[0]
+
+    def loss_merged(ad):
+        return grpo_loss(merge_lora(params, ad, lcfg), CFG, hp, batch)[0]
+
+    (l_i, g_i) = jax.value_and_grad(loss_inscan)(lora)
+    (l_m, g_m) = jax.value_and_grad(loss_merged)(lora)
+    np.testing.assert_allclose(float(l_i), float(l_m), rtol=1e-6, atol=1e-7)
+    for (p_i, a), (p_m, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_i)[0],
+        jax.tree_util.tree_flatten_with_path(g_m)[0],
+    ):
+        assert p_i == p_m
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6,
+            err_msg=jax.tree_util.keystr(p_i),
+        )
+        assert float(jnp.abs(a).max()) > 0, jax.tree_util.keystr(p_i)

@@ -154,8 +154,16 @@ def decoder_forward(
     remat: bool = False,  # jax.checkpoint per layer (reference --gradient_checkpointing)
     collect_hiddens: bool = False,  # ALSO return per-layer outputs (parity harness)
     cp: Optional[tuple[str, int]] = None,  # (axis_name, axis_size) context parallelism
+    lora: Optional[tuple[dict, float]] = None,  # (stacked layer-adapter tree, scaling)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
+
+    lora=(tree, scaling): stacked LoRA adapters mirroring the layers subtree
+    (rl/lora.lora_layers_tree). The functional merge W + scaling·A@B happens
+    per layer INSIDE the scan — one merged weight is live at a time, so the
+    3B LoRA backward holds base + one layer instead of base + a full merged
+    copy (the full copy OOMs a 16 GB chip). Not supported with an int8 KV
+    cache (rollouts run on pre-merged weights).
 
     cp=(axis_name, n): context parallelism — the call runs INSIDE shard_map
     with the sequence dim of hidden/position_ids/attention_mask sharded over
@@ -245,11 +253,19 @@ def decoder_forward(
         else:
             kv_bias = jnp.zeros((B, kv_len), jnp.float32)
 
+    if lora is not None:
+        assert not quant_kv, "in-scan LoRA merge is a loss-path feature (bf16 KV)"
+        from ...rl.lora import apply_layer_lora
+
     def layer(x, scanned):
+        if lora is not None:
+            scanned, lslice = scanned
         if quant_kv:
             lp, is_sliding, layer_k, layer_v, layer_ks, layer_vs = scanned
         else:
             lp, is_sliding, layer_k, layer_v = scanned
+        if lora is not None:
+            lp = apply_layer_lora(lp, lslice, lora[1])
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
         q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
@@ -317,6 +333,10 @@ def decoder_forward(
     # gradient_checkpointing for the 7B × 8k × G=8 fwd/bwd to fit
     layer_fn = jax.checkpoint(layer) if remat else layer
 
+    def _xs(t):
+        # the adapter tree scans alongside the layers (leading dim L)
+        return (t, lora[0]) if lora is not None else t
+
     if cache is not None and quant_kv:
         hidden, (k8s, kss, v8s, vss) = jax.lax.scan(
             layer_fn, hidden, (layers, sliding, cache.k, cache.v, cache.k_scale, cache.v_scale)
@@ -330,7 +350,7 @@ def decoder_forward(
             v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vss, at[:-1]),
         )
     elif cache is not None:
-        hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, (layers, sliding, cache.k, cache.v))
+        hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, _xs((layers, sliding, cache.k, cache.v)))
         # ks/vs: (L, B, S, Hkv, hd) — just the chunk. One dynamic_update_slice
         # into the (donated) cache buffer: in-place under jit/while-loop.
         new_k = jax.lax.dynamic_update_slice(
@@ -347,10 +367,10 @@ def decoder_forward(
                 y, _ = layer_fn(x, sc)
                 return y, y
 
-            hidden, per_layer = jax.lax.scan(collect, hidden, (layers, sliding, dummy, dummy))
+            hidden, per_layer = jax.lax.scan(collect, hidden, _xs((layers, sliding, dummy, dummy)))
             hidden = _rms_norm(hidden, params["norm"]["scale"], eps)
             return hidden, None, per_layer
-        hidden, _ = jax.lax.scan(layer_fn, hidden, (layers, sliding, dummy, dummy))
+        hidden, _ = jax.lax.scan(layer_fn, hidden, _xs((layers, sliding, dummy, dummy)))
         new_cache = None
 
     hidden = _rms_norm(hidden, params["norm"]["scale"], eps)
@@ -383,6 +403,7 @@ def shared_decode_forward(
     prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive (0 valid / NEG_INF pad)
     remat: bool = False,  # jax.checkpoint per layer (GRPO loss-forward path)
     use_flash: Optional[bool] = None,  # force/deny the flash chunk path (tests)
+    lora: Optional[tuple[dict, float]] = None,  # in-scan merge (decoder_forward docs)
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Decode step with the prompt KV shared across rollout rows (GRPO G-way
     decode / grouped serving). Attention per layer covers [shared prefix |
@@ -438,7 +459,13 @@ def shared_decode_forward(
         and Lp % 128 == 0
     ) if use_flash is None else use_flash
 
+    if lora is not None:
+        assert suffix is None and not quant, "in-scan LoRA merge: loss path only"
+        from ...rl.lora import apply_layer_lora
+
     def layer(x, scanned):
+        if lora is not None:
+            scanned, lslice = scanned
         if quant:
             lp, kp, vp, kps, vps, ko, vo, kos, vos = scanned
         elif suffix is not None:
@@ -447,6 +474,8 @@ def shared_decode_forward(
         else:
             lp, kp, vp = scanned
             ko = vo = kps = vps = kos = vos = None
+        if lora is not None:
+            lp = apply_layer_lora(lp, lslice, lora[1])
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
         q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
@@ -480,7 +509,10 @@ def shared_decode_forward(
     layer_fn = jax.checkpoint(layer) if remat else layer
     layers = params["layers"]
     if suffix is None:
-        hidden, _ = jax.lax.scan(layer_fn, hidden, (layers, prefix.k, prefix.v))
+        xs = (layers, prefix.k, prefix.v)
+        if lora is not None:
+            xs = (xs, lora[0])
+        hidden, _ = jax.lax.scan(layer_fn, hidden, xs)
         new_suffix = None
     elif quant:
         xs = (

@@ -156,7 +156,7 @@ _frozen_vision_jit = jax.jit(
 
 def _hidden_states(
     params, cfg: Qwen25VLConfig, batch: GRPOBatch, remat: bool = False,
-    fix_vit: bool = False, cp=None,
+    fix_vit: bool = False, cp=None, lora=None,
 ) -> jnp.ndarray:
     """Embed + merge vision + run decoder → final hidden (B, T, H).
 
@@ -175,6 +175,7 @@ def _hidden_states(
     if cp is not None:
         from ..parallel.ring_attention import sequence_parallel_decoder
 
+        assert lora is None, "LoRA x context-parallel loss is not plumbed; merge instead"
         mesh, axis_name, layout = cp
         return sequence_parallel_decoder(
             params["text"], cfg.text, embeds, batch.position_ids,
@@ -183,14 +184,14 @@ def _hidden_states(
         )
     hidden, _ = decoder_forward(
         params["text"], cfg.text, embeds, batch.position_ids,
-        attention_mask=batch.attention_mask, remat=remat,
+        attention_mask=batch.attention_mask, remat=remat, lora=lora,
     )
     return hidden
 
 
 def _split_logps_entropy(
     params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch: GRPOSplitBatch,
-    remat: bool = False, fix_vit: bool = False,
+    remat: bool = False, fix_vit: bool = False, lora=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shared-prefix forward → per-token (logps, entropy), both (B, Lc) fp32.
 
@@ -218,11 +219,13 @@ def _split_logps_entropy(
     hidden_p, prefix = decoder_forward(
         text, cfg.text, embeds, batch.prompt_pos,
         attention_mask=batch.prompt_mask, cache=cache, flash_q_offset=0, remat=remat,
+        lora=lora,
     )
     embeds_c = jnp.take(text["embed_tokens"]["embedding"], batch.comp_ids, axis=0)
     prefix_bias = jnp.where(batch.prompt_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
     hidden_c, _ = shared_decode_forward(
         text, cfg.text, embeds_c, batch.comp_pos, prefix, None, prefix_bias, remat=remat,
+        lora=lora,
     )
     h_last = jnp.repeat(hidden_p[:, -1:], G, axis=0)  # (B, 1, H) — shared within a group
     h_pred = jnp.concatenate([h_last, hidden_c[:, :-1]], axis=1)  # (B, Lc, H)
@@ -288,17 +291,21 @@ def compute_ref_logps(
 
 
 def grpo_loss(
-    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch, cp=None
+    params, cfg: Qwen25VLConfig, hp: GRPOHyperParams, batch, cp=None, lora=None
 ) -> tuple[jnp.ndarray, dict]:
     """Loss + metrics for one batch (GRPOBatch full rows, or GRPOSplitBatch
-    via the shared-prefix forward). Differentiable in `params`.
+    via the shared-prefix forward). Differentiable in `params` (and in the
+    adapter arrays inside `lora` when given).
 
     cp=(mesh, axis, layout): context-parallel decoder forward (full-row
-    batches only — the shared-prefix layout has its own factorization)."""
+    batches only — the shared-prefix layout has its own factorization).
+    lora=(stacked layer-adapter tree, scaling): decoder LoRA merged per layer
+    inside the scan (rl/lora.lora_layers_tree) — `params` stays the base."""
     if isinstance(batch, GRPOSplitBatch):
         assert cp is None, "context parallelism covers the full-row layout"
         logps, entropy = _split_logps_entropy(
-            params, cfg, hp, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit
+            params, cfg, hp, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit,
+            lora=lora,
         )
         # every chunk position IS a completion-predicting position: no shift
         comp_mask = batch.comp_mask.astype(jnp.float32)
@@ -306,7 +313,7 @@ def grpo_loss(
     else:
         hidden = _hidden_states(
             params, cfg, batch, remat=hp.gradient_checkpointing, fix_vit=hp.fix_vit,
-            cp=cp,
+            cp=cp, lora=lora,
         )
         logps, entropy = per_token_logps_entropy(
             params, cfg, hidden[:, :-1], batch.input_ids[:, 1:], hp.logp_chunk
@@ -411,13 +418,24 @@ def make_lora_train_step(
     Only the adapter pytree is differentiated/updated; the base stays frozen
     (so fix_vit zeroing is unnecessary — adapters for the vision tower are
     filtered out at init when fix_vit is set). The forward runs on the
-    functionally merged weights W + (α/r)·A@B."""
-    from .lora import merge_lora
+    functionally merged weights W + (α/r)·A@B, merged PER LAYER inside the
+    decoder scan (rl/lora.lora_layers_tree): a full merged copy of the 3B
+    stacked tree is another 6.2 GB next to the base and OOMs a 16 GB v5e in
+    the backward (measured); the in-scan merge holds one layer's merged
+    weights at a time. Adapters outside the decoder layers (none with
+    DEFAULT_TARGETS) still merge conventionally."""
+    from .lora import lora_layers_tree, merge_lora
 
     def train_step(base_params, lora, opt_state, batch: GRPOBatch):
         def loss_fn(lora):
-            merged = merge_lora(base_params, lora, lora_cfg)
-            return grpo_loss(merged, cfg, hp, batch, cp=cp)
+            dec_tree, rest = lora_layers_tree(lora)
+            p = merge_lora(base_params, rest, lora_cfg) if rest else base_params
+            dec = (dec_tree, lora_cfg.scaling) if dec_tree is not None else None
+            if cp is not None and dec is not None:
+                # ring decoder doesn't thread adapters; fall back to merging
+                p = merge_lora(p, {k: v for k, v in lora.items() if k not in rest}, lora_cfg)
+                dec = None
+            return grpo_loss(p, cfg, hp, batch, cp=cp, lora=dec)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora)
         updates, opt_state = optimizer.update(grads, opt_state, lora)
