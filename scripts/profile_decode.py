@@ -40,7 +40,7 @@ def main():
         shared_decode_forward,
         suffix_cache_zeros,
     )
-    from time_r1_tpu.ops.quant import quantize_kv_cache, quantize_params
+    from time_r1_tpu.ops.quant import quantize_kv_cache
     from time_r1_tpu.sampler.engine import sample_tokens
     from time_r1_tpu.sampler.params import SamplingParams
 
@@ -50,7 +50,12 @@ def main():
         lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
     )
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    p8 = quantize_params(params, bits=8)
+    from time_r1_tpu.sampler import Engine
+
+    # Engine quantizes and drops the bf16 tree immediately (same init as
+    # bench.py — quantize_params on the full tree peaks too high on 16 GB)
+    engine = Engine(params, cfg, quantization="int8", kv_cache_quant=True)
+    p8 = engine.params
     del params
     jax.block_until_ready(p8)
 
@@ -60,32 +65,45 @@ def main():
     suffix0 = suffix_cache_zeros(tcfg, BATCH, STEPS, quant=True)
     prefix_bias = jnp.zeros((1, LP), jnp.float32)
     sp = SamplingParams(temperature=1.0, max_new_tokens=STEPS)
-    start = jnp.full((BATCH,), LP, jnp.int32)
-    embeds0 = jnp.zeros((BATCH, 1, tcfg.hidden_size), jnp.bfloat16)
+    start = np.full((BATCH,), LP, np.int32)  # host constant — no device read at trace
 
-    def dec(x, suffix):
-        return shared_decode_forward(
-            p8["text"], tcfg, x, jnp.broadcast_to(
-                (start + suffix.length)[None, :, None], (3, BATCH, 1)
-            ), prefix, suffix, prefix_bias,
+    def _hm(cache):
+        return cache._replace(
+            k=cache.k.transpose(0, 1, 3, 2, 4),
+            v=cache.v.transpose(0, 1, 3, 2, 4),
+            k_scale=None if cache.k_scale is None else cache.k_scale.transpose(0, 1, 3, 2),
+            v_scale=None if cache.v_scale is None else cache.v_scale.transpose(0, 1, 3, 2),
         )
 
+    HEAD_MAJOR = os.environ.get("TIMER1_DECODE_ATTN_KERNEL", "0") == "1"
+
     @functools.partial(jax.jit, static_argnames=("mode",))
-    def run(last, suffix, mode: str):
+    def run(p8, prefix, prefix_bias, last, suffix, mode: str):
+        hm = HEAD_MAJOR and mode != "no_attn"  # the stub replaces the jnp path
+        if hm:
+            prefix, suffix = _hm(prefix), _hm(suffix)
+
+        def dec(p8, x, suffix):
+            return shared_decode_forward(
+                p8["text"], tcfg, x, jnp.broadcast_to(
+                    (start + suffix.length)[None, :, None], (3, BATCH, 1)
+                ), prefix, suffix, prefix_bias, prefix_head_major=hm,
+            )
+
         def body(i, carry):
             suffix, last, rng = carry
             from time_r1_tpu.ops.quant import embed_lookup
 
             x = embed_lookup(p8["text"]["embed_tokens"]["embedding"], last[:, None],
                              dtype=jnp.bfloat16)
-            if mode in ("full", "no_head"):
-                h, suffix = dec(x, suffix)
+            if mode in ("full", "no_head", "no_attn"):
+                h, suffix = dec(p8, x, suffix)
             else:  # head_only: skip the decoder entirely
                 h = x + 0.0 * last[:, None, None].astype(jnp.bfloat16)
                 h = jnp.broadcast_to(h, (BATCH, 1, tcfg.hidden_size))
                 suffix = suffix._replace(length=suffix.length + 1)
             if mode in ("full", "head_only"):
-                logits = lm_logits(p8["text"], tcfg, h)[:, -1]
+                logits = lm_logits(p8["text"], tcfg, h)[:, -1]  # noqa: B023 — p8 is a run() arg
             else:
                 logits = jnp.zeros((BATCH, 8), jnp.float32) + jnp.sum(h, axis=(1, 2))[:, None]
             rng, sub = jax.random.split(rng)
@@ -101,15 +119,46 @@ def main():
         return float(jnp.sum(x.astype(jnp.float32)))
 
     last0 = jnp.zeros((BATCH,), jnp.int32)
-    for mode in ("full", "no_head", "head_only"):
-        out = run(last0, suffix0, mode)
-        sync(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = run(last0, suffix0, mode)
+    modes = ("full", "no_head", "head_only", "no_attn")
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def maybe_stub_attention(mode):
+        """no_attn: replace mha_shared_prefix with a broadcast of v_new —
+        isolates the attention phase (dots+softmax+scale folds) from the
+        weight-stream matmuls, keeping every other op in place."""
+        if mode != "no_attn":
+            yield
+            return
+        from time_r1_tpu.ops import attention as A
+
+        real = A.mha_shared_prefix
+
+        def stub(q, kp, vp, kps, vps, ko, vo, kos, vos, kn, vn, *b, **kw):
+            B, S, Hkv, D = vn.shape
+            H = q.shape[2]
+            out = jnp.broadcast_to(
+                vn[:, :, :, None, :], (B, S, Hkv, H // Hkv, D)
+            ).reshape(B, S, H, D)
+            return out.astype(q.dtype)
+
+        A.mha_shared_prefix = stub
+        try:
+            yield
+        finally:
+            A.mha_shared_prefix = real
+
+    for mode in modes:
+        with maybe_stub_attention(mode):
+            out = run(p8, prefix, prefix_bias, last0, suffix0, mode)
             sync(out)
-            best = min(best, time.perf_counter() - t0)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run(p8, prefix, prefix_bias, last0, suffix0, mode)
+                sync(out)
+                best = min(best, time.perf_counter() - t0)
         print(f"[{mode}] {STEPS} steps = {best*1e3:.0f} ms ({best/STEPS*1e3:.3f} ms/step)")
 
 

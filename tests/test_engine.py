@@ -141,3 +141,39 @@ def test_decode_positions_match_full_forward(jx_params, engine):  # noqa: F811
         lg2, _ = forward(params_rope, cfg_rope, jnp.asarray(ids2), jnp.asarray(pos2))
         want = np.argmax(np.asarray(lg2[0, len(prompt) - 1 : -1]), axis=-1).tolist()
         assert out == want, f"G={G}"
+
+
+def test_sample_tokens_inverse_cdf_distribution():
+    """The inverse-CDF sampler draws from exactly softmax(logits/T):
+    frequency check on a small vocab, zero-probability tokens never drawn,
+    greedy/top_k paths still respected."""
+    import jax
+
+    from time_r1_tpu.sampler.engine import sample_tokens
+
+    p = jnp.asarray([[0.5, 0.25, 0.125, 0.125, 0.0]], jnp.float32)
+    logits = jnp.where(p > 0, jnp.log(p.clip(1e-30)), -jnp.inf)  # true zero: -inf
+    sp = SamplingParams(temperature=1.0, max_new_tokens=1)
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    draws = jax.vmap(lambda k: sample_tokens(logits, k, sp))(keys)
+    counts = np.bincount(np.asarray(draws).ravel(), minlength=5)
+    assert counts[4] == 0  # zero-probability token is never selected
+    freq = counts / n
+    np.testing.assert_allclose(freq[:4], [0.5, 0.25, 0.125, 0.125], atol=0.03)
+
+    # greedy unchanged
+    sp0 = SamplingParams(temperature=0.0, max_new_tokens=1)
+    assert int(sample_tokens(logits, keys[0], sp0)[0]) == 0
+
+    # top_k=1 degenerates to greedy regardless of the draw
+    spk = SamplingParams(temperature=1.0, top_k=1, max_new_tokens=1)
+    draws_k = jax.vmap(lambda k: sample_tokens(logits, k, spk))(keys[:64])
+    assert np.all(np.asarray(draws_k) == 0)
+
+    # temperature reshapes the distribution (T→large ⇒ uniform over support)
+    spt = SamplingParams(temperature=100.0, max_new_tokens=1)
+    draws_t = jax.vmap(lambda k: sample_tokens(logits, k, spt))(keys)
+    freq_t = np.bincount(np.asarray(draws_t).ravel(), minlength=5) / n
+    np.testing.assert_allclose(freq_t[:4], [0.25] * 4, atol=0.03)
+    assert freq_t[4] == 0.0

@@ -404,6 +404,10 @@ def shared_decode_forward(
     remat: bool = False,  # jax.checkpoint per layer (GRPO loss-forward path)
     use_flash: Optional[bool] = None,  # force/deny the flash chunk path (tests)
     lora: Optional[tuple[dict, float]] = None,  # in-scan merge (decoder_forward docs)
+    prefix_head_major: bool = False,  # prefix pre-transposed (L, P, Hkv, Lp, hd):
+    # the S=1 decode step routes the prefix pass through the Pallas
+    # online-softmax kernel (ops/decode_attention.py) — one launch/layer
+    # instead of the dot→fusion→dot→dot jnp chain
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Decode step with the prompt KV shared across rollout rows (GRPO G-way
     decode / grouped serving). Attention per layer covers [shared prefix |
@@ -433,13 +437,15 @@ def shared_decode_forward(
     eps = cfg.rms_norm_eps
     B, S, _ = hidden.shape
     quant = suffix is not None and suffix.k.dtype == jnp.int8
+    if prefix_head_major:
+        assert suffix is not None and S == 1, "kernel path: decode step only"
     cos, sin = mrope_cos_sin(cfg, position_ids)
     cos_b = cos[:, :, None, :]
     sin_b = sin[:, :, None, :]
 
     bias_pref = prefix_bias[:, None, None, :]  # (P, 1, 1, Lp) → broadcasts over S
     if suffix is not None:
-        Lo = suffix.k.shape[2]
+        Lo = suffix.k.shape[3 if prefix_head_major else 2]
         own_valid = jnp.arange(Lo)[None, :] < suffix.length
         bias_own = jnp.where(own_valid, 0.0, NEG_INF).astype(jnp.float32)[None, None]
     else:
@@ -451,7 +457,7 @@ def shared_decode_forward(
     from ...ops.attention import mha_shared_prefix
     from ...ops.quant import quantize_kv
 
-    Lp = prefix.k.shape[2]
+    Lp = prefix.k.shape[3 if prefix_head_major else 2]
     flash_chunk = (
         suffix is None
         and prefix.k.dtype != jnp.int8
@@ -490,6 +496,33 @@ def shared_decode_forward(
             attn = flash_attention_shared_prefix(
                 q, kp.astype(q.dtype), vp.astype(q.dtype), k, v, prefix_bias
             )
+        elif prefix_head_major:
+            # ONE kernel launch for the whole [prefix | own suffix | new
+            # token] softmax (ops/decode_attention.shared_prefix_decode_full);
+            # caches enter HEAD-MAJOR — (P, Hkv, Lp, hd) / (B, Hkv, Lo, hd)
+            from ...ops.decode_attention import shared_prefix_decode_full
+
+            P = kp.shape[0]
+            R = B // P
+            G = nh // nkv
+            q_kern = (
+                q.reshape(P, R, nkv, G, hd)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(P, nkv, R * G, hd)
+            )
+            Lo = ko.shape[2]
+            bias_own_1d = jnp.where(
+                jnp.arange(Lo) < suffix.length, 0.0, NEG_INF
+            ).astype(jnp.float32)
+            ctx = shared_prefix_decode_full(
+                q_kern, kp, vp, kps, vps, prefix_bias,
+                ko, vo, kos, vos, bias_own_1d, k[:, 0], v[:, 0],
+            )
+            attn = (
+                ctx.reshape(P, nkv, R, G, hd)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(B, S, nh, hd)
+            )
         else:
             attn = mha_shared_prefix(
                 q, kp, vp, kps, vps, ko, vo, kos, vos, k, v, bias_pref, bias_own, bias_new
@@ -520,7 +553,13 @@ def shared_decode_forward(
             suffix.k, suffix.v, suffix.k_scale, suffix.v_scale,
         )
         hidden, (k8s, kss, v8s, vss) = jax.lax.scan(layer_fn, hidden, xs)
-        at = (0, 0, suffix.length, 0, 0)
+        if prefix_head_major:
+            # head-major suffix (L, B, Hkv, Lo, hd): append on the Lo axis
+            k8s, v8s = k8s.swapaxes(2, 3), v8s.swapaxes(2, 3)
+            kss, vss = kss.swapaxes(2, 3), vss.swapaxes(2, 3)
+            at = (0, 0, 0, suffix.length, 0)
+        else:
+            at = (0, 0, suffix.length, 0, 0)
         new_suffix = KVCache(
             k=jax.lax.dynamic_update_slice(suffix.k, k8s, at),
             v=jax.lax.dynamic_update_slice(suffix.v, v8s, at),
@@ -531,13 +570,14 @@ def shared_decode_forward(
     else:
         xs = (layers, prefix.k, prefix.v, suffix.k, suffix.v)
         hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, xs)
+        if prefix_head_major:
+            ks, vs = ks.swapaxes(2, 3), vs.swapaxes(2, 3)
+            at = (0, 0, 0, suffix.length, 0)
+        else:
+            at = (0, 0, suffix.length, 0, 0)
         new_suffix = KVCache(
-            k=jax.lax.dynamic_update_slice(
-                suffix.k, ks.astype(suffix.k.dtype), (0, 0, suffix.length, 0, 0)
-            ),
-            v=jax.lax.dynamic_update_slice(
-                suffix.v, vs.astype(suffix.v.dtype), (0, 0, suffix.length, 0, 0)
-            ),
+            k=jax.lax.dynamic_update_slice(suffix.k, ks.astype(suffix.k.dtype), at),
+            v=jax.lax.dynamic_update_slice(suffix.v, vs.astype(suffix.v.dtype), at),
             length=suffix.length + S,
         )
     hidden = _rms_norm(hidden, params["norm"]["scale"], eps)

@@ -143,6 +143,7 @@ def forward_shared_decode(
     prefix: KVCache,  # (L, P, Lp, …) shared prompt prefixes
     suffix: KVCache,  # (L, B, max_new, …) per-row generated suffix
     prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive
+    prefix_head_major: bool = False,  # (L, P, Hkv, Lp, hd) → Pallas prefix pass
 ) -> tuple[jnp.ndarray, KVCache]:
     """Decode-phase forward with the prompt KV shared across rollout rows
     (language.shared_decode_forward) → (logits (B, S, V) fp32, new suffix)."""
@@ -154,6 +155,7 @@ def forward_shared_decode(
         dtype=params["text"]["norm"]["scale"].dtype,
     )
     hidden, new_suffix = shared_decode_forward(
-        params["text"], cfg.text, embeds, position_ids, prefix, suffix, prefix_bias
+        params["text"], cfg.text, embeds, position_ids, prefix, suffix, prefix_bias,
+        prefix_head_major=prefix_head_major,
     )
     return lm_logits(params["text"], cfg.text, hidden), new_suffix

@@ -95,6 +95,11 @@ def sample_tokens(
         keep = cum - probs < sp.top_p  # smallest prefix reaching top_p
         threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    # Gumbel-argmax (jax.random.categorical). Measured alternative for the
+    # record: inverse-CDF with ONE uniform per row (softmax→cumsum→search)
+    # is SLOWER on v5e — cumsum along the 152k lane axis costs more than
+    # threefry bits for V gumbels (head-phase 0.69 → 0.99 ms/step at the
+    # bench shape), so the V-uniform trick stays.
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
@@ -241,12 +246,45 @@ def decode_loop_shared(
     """decode_loop over the shared-prefix cache layout: the prompt KV is
     stored once per prompt and every rollout row keeps only its own
     generated-suffix cache (models/qwen25vl/language.shared_decode_forward).
-    Same sampling/stop semantics as decode_loop (shared _run_decode_loop)."""
+    Same sampling/stop semantics as decode_loop (shared _run_decode_loop).
+
+    TIMER1_DECODE_ATTN_KERNEL=1 transposes the caches head-major ONCE here
+    and routes every step's attention through the one-launch Pallas kernel
+    (ops/decode_attention.shared_prefix_decode_full). OFF by default: measured
+    SLOWER than the jnp chain on v5e (5.25 vs 4.94 ms/step at the bench
+    shape) — TPU kernels execute sequentially, so XLA's fused graph hides the
+    attention ops' HBM latency behind the next matmul's weight stream while a
+    small-block Pallas launch exposes it (same result as the fused int8 MLP,
+    ops/quant.mlp_proj). Kept for bigger-batch/longer-prefix regimes where
+    the kernel's single-launch softmax wins."""
+    import os
+
     from ..models.qwen25vl import forward_shared_decode
+    from ..ops.decode_attention import pick_block
+
+    head_major = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("TIMER1_DECODE_ATTN_KERNEL", "0") == "1"
+        and pick_block(prefix.k.shape[2]) > 0
+    )
+    if head_major:
+        prefix = prefix._replace(
+            k=prefix.k.transpose(0, 1, 3, 2, 4),
+            v=prefix.v.transpose(0, 1, 3, 2, 4),
+            k_scale=None if prefix.k_scale is None else prefix.k_scale.transpose(0, 1, 3, 2),
+            v_scale=None if prefix.v_scale is None else prefix.v_scale.transpose(0, 1, 3, 2),
+        )
+        suffix = suffix._replace(  # empty at this point — a zeros relayout
+            k=suffix.k.transpose(0, 1, 3, 2, 4),
+            v=suffix.v.transpose(0, 1, 3, 2, 4),
+            k_scale=None if suffix.k_scale is None else suffix.k_scale.transpose(0, 1, 3, 2),
+            v_scale=None if suffix.v_scale is None else suffix.v_scale.transpose(0, 1, 3, 2),
+        )
 
     def step_fn(s: DecodeState, pos3):
         lg, suf = forward_shared_decode(
-            params, cfg, s.last[:, None], pos3, prefix, s.cache, prefix_bias
+            params, cfg, s.last[:, None], pos3, prefix, s.cache, prefix_bias,
+            prefix_head_major=head_major,
         )
         return lg[:, -1], suf
 
