@@ -87,3 +87,29 @@ def test_continuous_quantized_runs(jx_params):  # noqa: F811
     for row in out:
         assert len(row) <= sp.max_new_tokens
         assert all(isinstance(t, int) for t in row)
+
+
+def test_bench_serving_harness_runs_both_engines(jx_params):  # noqa: F811
+    """scripts/bench_serving.py's measurement harness works on both engines
+    (tiny config, CPU): fixed-length generation, all tokens emitted."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_serving",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_serving.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    reqs = mod.build_requests(3, vocab=200)
+    # tiny lengths for CPU: override the mix-driven lengths
+    reqs = [type(r)(input_ids=r.input_ids[:12]) for r in reqs]
+    sp = SamplingParams(temperature=1.0, max_new_tokens=4, stop_token_ids=(), seed=0)
+    for kind in ("paged", "slot"):
+        tps, gen, wall = mod.run(
+            CFG, jx_params, reqs, sp, kind, max_slots=2, max_len=64,
+            page_size=16, quantization=None, kv_cache_quant=False,
+            dtype=jnp.float32, warmup=False,
+        )
+        assert gen == 3 * 4 and tps > 0 and wall > 0
