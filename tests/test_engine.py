@@ -143,10 +143,11 @@ def test_decode_positions_match_full_forward(jx_params, engine):  # noqa: F811
         assert out == want, f"G={G}"
 
 
-def test_sample_tokens_inverse_cdf_distribution():
-    """The inverse-CDF sampler draws from exactly softmax(logits/T):
-    frequency check on a small vocab, zero-probability tokens never drawn,
-    greedy/top_k paths still respected."""
+def test_sample_tokens_distribution():
+    """sample_tokens draws from exactly softmax(logits/T) (the Gumbel/
+    jax.random.categorical path — the inverse-CDF variant was measured slower
+    and reverted, see sampler/engine.py): frequency check on a small vocab,
+    zero-probability tokens never drawn, greedy/top_k paths still respected."""
     import jax
 
     from time_r1_tpu.sampler.engine import sample_tokens

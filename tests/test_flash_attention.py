@@ -138,3 +138,42 @@ def test_shared_prefix_gradients_match_reference():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
         )
+
+
+def test_shared_prefix_nondividing_chunk_block():
+    """Regression: block_k is picked from Lp alone, so Lp=384 selects
+    block_k=384 while Sc=512 is not a multiple of it — the own-chunk loop
+    previously sliced past the chunk (clamped/garbage keys; wrong output in
+    interpret mode, latent OOB on TPU). The own-chunk block must be re-picked
+    as a divisor of Sc."""
+    q, kp, vp, ko, vo, prefix_bias = _sp_inputs(Lp=384, Sc=512, R=2)
+    out = flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias)
+    want = _ref_shared_prefix(q, kp, vp, ko, vo, prefix_bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    def f_sp(q, ko):
+        return jnp.sum(flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias) * g)
+
+    def f_ref(q, ko):
+        return jnp.sum(_ref_shared_prefix(q, kp, vp, ko, vo, prefix_bias) * g)
+
+    got = jax.grad(f_sp, argnums=(0, 1))(q, ko)
+    want_g = jax.grad(f_ref, argnums=(0, 1))(q, ko)
+    for name, a, b in zip("q ko".split(), got, want_g):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_shared_prefix_rejects_nonblock_shapes():
+    """Lp=320 / Sc=192 divide no block candidate; the op must reject them
+    instead of silently truncating the prefix loop / leaving q rows unwritten."""
+    q, kp, vp, ko, vo, prefix_bias = _sp_inputs(Lp=320, Sc=128, R=1)
+    with pytest.raises(AssertionError):
+        flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias)
+    q, kp, vp, ko, vo, prefix_bias = _sp_inputs(Lp=256, Sc=192, R=1)
+    with pytest.raises(AssertionError):
+        flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias)

@@ -504,9 +504,9 @@ def _fwd_kernel_sp(
     carry = jax.lax.fori_loop(0, lp // block_k, prefix_body, (m0, l0, acc0))
 
     q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-    bko = min(block_k, sc)
+    bko = _sp_own_block(sc, block_k)
     limit = jax.lax.div((qi + 1) * bq + bko - 1, bko)
-    limit = jnp.minimum(limit, pl.cdiv(sc, bko))
+    limit = jnp.minimum(limit, sc // bko)
 
     def own_body(kj, carry):
         m, l, acc = carry
@@ -534,7 +534,22 @@ def _sp_blocks(sc: int, lp: int, block_q: int, block_k: int):
         block_q = _pick_block(sc, (256, 128))
     if not block_k:
         block_k = _pick_block(lp, (896, 768, 640, 512, 384, 256, 128))
+    # _pick_block falls back to 128 when nothing divides; a non-dividing block
+    # would silently truncate the prefix loop (lp // block_k) / leave q rows
+    # unwritten (grid sc // block_q) — reject instead of corrupting.
+    assert sc % block_q == 0 and lp % block_k == 0, (sc, lp, block_q, block_k)
     return block_q, block_k
+
+
+def _sp_own_block(sc: int, block_k: int) -> int:
+    """k-block for the OWN-CHUNK loop: largest divisor of sc that is ≤
+    block_k. block_k is picked from Lp alone, so min(block_k, sc) — the old
+    choice — can fail to divide sc (e.g. Lp=1792 → 896 with Sc=1024) and the
+    last pl.ds would read past the chunk block (clamped/garbage keys)."""
+    for c in (896, 768, 640, 512, 384, 256, 128):
+        if c <= block_k and sc % c == 0:
+            return c
+    return sc
 
 
 def _sp_fwd(q, kp, vp, ko, vo, prefix_bias, scale, block_q, block_k):
@@ -596,8 +611,8 @@ def _bwd_kernel_dq_sp(
     dq = jax.lax.fori_loop(0, lp // block_k, prefix_body, jnp.zeros((bq, d), jnp.float32))
 
     q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-    bko = min(block_k, sc)
-    limit = jnp.minimum(jax.lax.div((qi + 1) * bq + bko - 1, bko), pl.cdiv(sc, bko))
+    bko = _sp_own_block(sc, block_k)
+    limit = jnp.minimum(jax.lax.div((qi + 1) * bq + bko - 1, bko), sc // bko)
 
     def own_body(kj, dq):
         k = ko_ref[0, 0, pl.ds(kj * bko, bko), :].astype(jnp.float32)
