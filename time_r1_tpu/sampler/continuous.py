@@ -157,8 +157,26 @@ class ContinuousEngine:
 
     # ------------------------------------------------------------------
     def _admit_many(self, state: SlotState, admits, sp: SamplingParams):
-        """ONE batched prefill for all pending admissions, KV scattered into
-        each target slot. Batching admissions keeps the pool's stall per
+        """Admissions grouped by prompt bucket (one batched prefill per
+        group): _pack pads a batch to its longest row's bucket, so a mixed
+        wave would prefill every row at the longest prompt's padded length —
+        see PagedEngine._admit_many."""
+        from .engine import _bucket
+
+        groups: dict[int, list] = {}
+        for a in admits:
+            groups.setdefault(_bucket(len(a[2].input_ids)), []).append(a)
+        out: dict[int, int] = {}
+        for bucket in sorted(groups, reverse=True):
+            group = groups[bucket]
+            state, firsts = self._admit_group(state, group, sp)
+            for a, f in zip(group, firsts):
+                out[id(a)] = f
+        return state, [out[id(a)] for a in admits]
+
+    def _admit_group(self, state: SlotState, admits, sp: SamplingParams):
+        """ONE batched prefill for a same-bucket admission group, KV scattered
+        into each target slot. Batching admissions keeps the pool's stall per
         scheduling wave to a single prefill instead of one per request (the
         reference's engine interleaves via max_num_batched_tokens; a batched
         admission is the same budget spent at wave granularity).
@@ -200,7 +218,10 @@ class ContinuousEngine:
     def generate(self, requests: Sequence[Request], sp: SamplingParams) -> list[list[int]]:
         """Schedule all requests through the slot pool; results in input order."""
         G = sp.num_return_sequences
-        queue = deque((i, r) for i, r in enumerate([r for r in requests for _ in range(G)]))
+        rows = [(i, r) for i, r in enumerate([r for r in requests for _ in range(G)])]
+        # longest-first admission (see PagedEngine.generate)
+        rows.sort(key=lambda t: len(t[1].input_ids), reverse=True)
+        queue = deque(rows)
         n_total = len(queue)
         results: dict[int, list[int]] = {}
         stop_set = set(sp.stop_token_ids)

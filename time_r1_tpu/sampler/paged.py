@@ -322,8 +322,31 @@ class PagedEngine:
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
     def _admit_many(self, pool_box, allocator, admits, sp, on_chunk=None):
-        """ONE batched prefill for all pending admissions; each row's KV is
-        paged into its freshly-allocated pages. admits: [(slot, req_idx,
+        """Admissions grouped by prompt bucket, one batched prefill per group.
+        Engine._pack pads a batch to its LONGEST row's power-of-two bucket, so
+        a mixed admission wave (200- and 1800-token prompts together) would
+        prefill EVERY row at 2048 tokens; splitting the wave by bucket makes
+        each prompt pay only its own padded length (~2× less prefill compute
+        at a uniform length mix). Resident slots decode between group
+        prefills via on_chunk, same as between a long admission's chunks."""
+        from .engine import _bucket
+
+        groups: dict[int, list] = {}
+        for a in admits:
+            groups.setdefault(_bucket(len(a[2].input_ids)), []).append(a)
+        out: dict[int, tuple] = {}
+        for gi, bucket in enumerate(sorted(groups, reverse=True)):
+            if gi and on_chunk is not None:
+                on_chunk()
+            group = groups[bucket]
+            infos = self._admit_group(pool_box, allocator, group, sp, on_chunk)
+            for a, res in zip(group, infos):
+                out[id(a)] = res
+        return [out[id(a)] for a in admits]
+
+    def _admit_group(self, pool_box, allocator, admits, sp, on_chunk=None):
+        """ONE batched prefill for a same-bucket admission group; each row's
+        KV is paged into its freshly-allocated pages. admits: [(slot, req_idx,
         Request)] → [(first, start_pos, pages)]; the pool is threaded through
         the MUTABLE pool_box["pool"] because on_chunk may decode (donating
         and replacing the pool buffer) mid-admission.
@@ -385,7 +408,13 @@ class PagedEngine:
         from collections import deque
 
         G = sp.num_return_sequences
-        queue = deque((i, r) for i, r in enumerate([r for r in requests for _ in range(G)]))
+        rows = [(i, r) for i, r in enumerate([r for r in requests for _ in range(G)])]
+        # longest-first: admission waves become bucket-homogeneous (one
+        # prefill shape per wave) and the long-prompt tail is never the last
+        # thing keeping the pool half-empty; results keyed by row index, so
+        # output order is unchanged
+        rows.sort(key=lambda t: len(t[1].input_ids), reverse=True)
+        queue = deque(rows)
         n_total = len(queue)
         results: dict[int, list[int]] = {}
         stop_set = set(sp.stop_token_ids)
