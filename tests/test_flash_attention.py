@@ -169,11 +169,12 @@ def test_shared_prefix_nondividing_chunk_block():
 
 
 def test_shared_prefix_rejects_nonblock_shapes():
-    """Lp=320 / Sc=192 divide no block candidate; the op must reject them
-    instead of silently truncating the prefix loop / leaving q rows unwritten."""
+    """(Lp=320, Sc=128) and (Lp=256, Sc=192): one of Lp/Sc divides no block
+    candidate; the op must reject (ValueError — survives python -O) instead of
+    silently truncating the prefix loop / leaving q rows unwritten."""
     q, kp, vp, ko, vo, prefix_bias = _sp_inputs(Lp=320, Sc=128, R=1)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias)
     q, kp, vp, ko, vo, prefix_bias = _sp_inputs(Lp=256, Sc=192, R=1)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         flash_attention_shared_prefix(q, kp, vp, ko, vo, prefix_bias)

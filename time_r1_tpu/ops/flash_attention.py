@@ -536,8 +536,13 @@ def _sp_blocks(sc: int, lp: int, block_q: int, block_k: int):
         block_k = _pick_block(lp, (896, 768, 640, 512, 384, 256, 128))
     # _pick_block falls back to 128 when nothing divides; a non-dividing block
     # would silently truncate the prefix loop (lp // block_k) / leave q rows
-    # unwritten (grid sc // block_q) — reject instead of corrupting.
-    assert sc % block_q == 0 and lp % block_k == 0, (sc, lp, block_q, block_k)
+    # unwritten (grid sc // block_q) — reject instead of corrupting. ValueError
+    # (not assert): shape validation must survive `python -O`.
+    if sc % block_q != 0 or lp % block_k != 0:
+        raise ValueError(
+            f"shared-prefix shapes must divide their blocks: Sc={sc} % block_q={block_q}, "
+            f"Lp={lp} % block_k={block_k}"
+        )
     return block_q, block_k
 
 
@@ -549,6 +554,11 @@ def _sp_own_block(sc: int, block_k: int) -> int:
     for c in (896, 768, 640, 512, 384, 256, 128):
         if c <= block_k and sc % c == 0:
             return c
+    if sc > block_k:
+        # a caller-forced block_q can get sc past _sp_blocks with sc % 128 != 0
+        # (e.g. block_q=64, sc=192); returning sc here would silently exceed
+        # the requested k-block cap — reject instead.
+        raise ValueError(f"no own-chunk k-block ≤ {block_k} divides Sc={sc}")
     return sc
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import dataclasses
 from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
@@ -169,12 +170,16 @@ class GRPOTrainer:
         processor: Qwen25VLProcessor,
         reward_funcs: Sequence[Callable],
         metric_funcs: Sequence[Callable] = (),
-        config: TrainConfig = TrainConfig(),
+        config: Optional[TrainConfig] = None,
         video_loader: Optional[Callable] = None,
         ref_params: Optional[dict] = None,
         dtype=jnp.bfloat16,
         mesh=None,  # jax.sharding.Mesh → FSDP/TP sharded training (N3/N4)
     ):
+        # own a private copy: the CP path below mutates shared_prefix_loss,
+        # which must never leak into the caller's object (or, worse, a shared
+        # default instance)
+        config = dataclasses.replace(config) if config is not None else TrainConfig()
         self.cfg = cfg
         self.processor = processor
         self.reward_funcs = list(reward_funcs)
@@ -829,8 +834,19 @@ class GRPOTrainer:
                     if self._tb is not None:
                         self._tb.log(logs, self.global_step)
                     (log_fn or print)(logs)
-                if c.save_strategy == "steps" and self.global_step % c.save_steps == 0:
-                    self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{self.global_step}"))
+                # save cadence counts OPTIMIZER steps like HF Trainer (its
+                # global_step increments per update, ours per micro batch):
+                # save when an accumulation window closes AND the update count
+                # hits save_steps — with accum=2, save_steps=50 saves at micro
+                # steps 100, 200, ..., not 50, 100, ...
+                accum = max(int(c.gradient_accumulation_steps), 1)
+                opt_step, in_window = divmod(self.global_step, accum)
+                if (
+                    c.save_strategy == "steps"
+                    and in_window == 0
+                    and opt_step % c.save_steps == 0
+                ):
+                    self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{opt_step}"))
             if c.save_strategy == "epoch":
                 self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{self.global_step}"))
             self.save_checkpoint(os.path.join(c.output_dir, f"epoch-{epoch + 1}"))

@@ -156,22 +156,32 @@ class ContinuousEngine:
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
     # ------------------------------------------------------------------
-    def _admit_many(self, state: SlotState, admits, sp: SamplingParams):
+    def _admit_many(self, state: SlotState, admits, sp: SamplingParams,
+                    on_group=None, register=None):
         """Admissions grouped by prompt bucket (one batched prefill per
         group): _pack pads a batch to its longest row's bucket, so a mixed
         wave would prefill every row at the longest prompt's padded length —
-        see PagedEngine._admit_many."""
+        see PagedEngine._admit_many.
+
+        Like the paged engine, each group's rows `register` as soon as its
+        prefill lands, and `on_group(state) -> state` runs a decode segment
+        between groups so already-registered slots keep emitting tokens while
+        later groups of the same wave prefill."""
         from .engine import _bucket
 
         groups: dict[int, list] = {}
         for a in admits:
             groups.setdefault(_bucket(len(a[2].input_ids)), []).append(a)
         out: dict[int, int] = {}
-        for bucket in sorted(groups, reverse=True):
+        for gi, bucket in enumerate(sorted(groups, reverse=True)):
+            if gi and on_group is not None:
+                state = on_group(state)
             group = groups[bucket]
             state, firsts = self._admit_group(state, group, sp)
             for a, f in zip(group, firsts):
                 out[id(a)] = f
+                if register is not None:
+                    state = register(state, a, f)
         return state, [out[id(a)] for a in admits]
 
     def _admit_group(self, state: SlotState, admits, sp: SamplingParams):
@@ -241,31 +251,24 @@ class ContinuousEngine:
         slot_tokens: list[list[int]] = [[] for _ in range(self.max_slots)]
         rng = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
 
-        while len(results) < n_total:
-            # admit into free slots (ONE batched prefill per wave)
-            admits = []
-            for slot in range(self.max_slots):
-                if slot_req[slot] is None and queue:
-                    idx, req = queue.popleft()
-                    if len(req.input_ids) + sp.max_new_tokens > self.max_len:
-                        raise ValueError(
-                            f"request length {len(req.input_ids)}+{sp.max_new_tokens} exceeds max_len {self.max_len}"
-                        )
-                    admits.append((slot, idx, req))
-            if admits:
-                state, firsts = self._admit_many(state, admits, sp)
-                for (slot, idx, req), first in zip(admits, firsts):
-                    slot_req[slot] = idx
-                    slot_tokens[slot] = [first]
-                    if first in stop_set:
-                        # finished at the very first token
-                        results[idx] = [first] if sp.include_stop_token else []
-                        slot_req[slot] = None
-                        state = state._replace(done=state.done.at[slot].set(True))
+        def register(state, admit, first):
+            slot, idx, _req = admit
+            slot_req[slot] = idx
+            slot_tokens[slot] = [first]
+            if first in stop_set:
+                # finished at the very first token
+                results[idx] = [first] if sp.include_stop_token else []
+                slot_req[slot] = None
+                state = state._replace(done=state.done.at[slot].set(True))
+            return state
 
+        def run_segment(state):
+            """One K-step decode segment over the live slots + retirement.
+            No-op (state unchanged) when no slot is live."""
+            nonlocal rng
             active = jnp.asarray([slot_req[s] is not None for s in range(self.max_slots)])
             if not bool(active.any()):
-                continue
+                return state
             max_steps = jnp.asarray(
                 [sp.max_new_tokens - 1 if slot_req[s] is not None else 0 for s in range(self.max_slots)],
                 jnp.int32,
@@ -300,4 +303,23 @@ class ContinuousEngine:
                         row.append(t)
                     results[idx] = row[: sp.max_new_tokens]
                     slot_req[slot] = None
+            return state
+
+        while len(results) < n_total:
+            # admit into free slots (ONE batched prefill per bucket group;
+            # resident slots decode between groups via on_group)
+            admits = []
+            for slot in range(self.max_slots):
+                if slot_req[slot] is None and queue:
+                    idx, req = queue.popleft()
+                    if len(req.input_ids) + sp.max_new_tokens > self.max_len:
+                        raise ValueError(
+                            f"request length {len(req.input_ids)}+{sp.max_new_tokens} exceeds max_len {self.max_len}"
+                        )
+                    admits.append((slot, idx, req))
+            if admits:
+                state, _ = self._admit_many(
+                    state, admits, sp, on_group=run_segment, register=register
+                )
+            state = run_segment(state)
         return [results[i] for i in range(n_total)]

@@ -321,14 +321,20 @@ class PagedEngine:
         # prefill (and its cache) stay bf16; pages quantize at write_prompt
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
 
-    def _admit_many(self, pool_box, allocator, admits, sp, on_chunk=None):
+    def _admit_many(self, pool_box, allocator, admits, sp, on_chunk=None, register=None):
         """Admissions grouped by prompt bucket, one batched prefill per group.
         Engine._pack pads a batch to its LONGEST row's power-of-two bucket, so
         a mixed admission wave (200- and 1800-token prompts together) would
         prefill EVERY row at 2048 tokens; splitting the wave by bucket makes
         each prompt pay only its own padded length (~2× less prefill compute
         at a uniform length mix). Resident slots decode between group
-        prefills via on_chunk, same as between a long admission's chunks."""
+        prefills via on_chunk, same as between a long admission's chunks.
+
+        `register(admit_tuple, info)` is called per row as soon as its group's
+        prefill lands — BEFORE the next group runs — so slots admitted by an
+        earlier group are already live for the between-group/chunk decode
+        segments (the cold-start case: a wave of [long, short] prompts decodes
+        the long slot while the short group prefills, and vice versa)."""
         from .engine import _bucket
 
         groups: dict[int, list] = {}
@@ -342,6 +348,8 @@ class PagedEngine:
             infos = self._admit_group(pool_box, allocator, group, sp, on_chunk)
             for a, res in zip(group, infos):
                 out[id(a)] = res
+                if register is not None:
+                    register(a, res)
         return [out[id(a)] for a in admits]
 
     def _admit_group(self, pool_box, allocator, admits, sp, on_chunk=None):
@@ -504,11 +512,15 @@ class PagedEngine:
                     admits.append((slot, idx, req))
             if admits:
                 # resident slots keep decoding between a long admission's
-                # prefill chunks (the chunked-prefill interleave — admitted
-                # slots aren't registered yet, so the segment can't see them)
+                # prefill chunks AND between bucket groups (the chunked-prefill
+                # interleave); each group's slots register via the callback as
+                # soon as its prefill lands, so they are live for the segments
+                # fired while LATER groups of the same wave still prefill
                 on_chunk = segment_and_retire if self.interleave_decode else None
-                infos = self._admit_many(pool_box, allocator, admits, sp, on_chunk)
-                for (slot, idx, req), (first, sp0, pages) in zip(admits, infos):
+
+                def register(admit, info):
+                    slot, idx, _req = admit
+                    first, sp0, pages = info
                     slot_req[slot] = idx
                     slot_pages[slot] = pages
                     slot_tokens[slot] = [first]
@@ -517,6 +529,8 @@ class PagedEngine:
                     last[slot] = first
                     if first in stop_set:
                         retire(slot, idx)
+
+                self._admit_many(pool_box, allocator, admits, sp, on_chunk, register)
 
             if not segment_and_retire():
                 # every occupied slot already finished (stop/budget) — retire
