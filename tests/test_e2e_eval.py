@@ -117,6 +117,89 @@ def test_evaluate_cli_end_to_end_with_resume(tiny_setup, annotations, tmp_path, 
     assert set(scores.keys()) == {"mIoU", 0.3, 0.5, 0.7, "avg"}
 
 
+def test_evaluate_cli_emits_record_for_undecodable_video(tiny_setup, tmp_path):
+    """An undecodable video must still produce a jsonl record (pred
+    [None, None] → scored 0.0 with the row IN the denominator — the
+    reference emits a prediction for every row via its backend fallback,
+    vision_process.py:362-368) and must NOT be re-attempted on resume."""
+    from time_r1_tpu.cli import evaluate as evaluate_cli
+    from time_r1_tpu.utils.metrics import score_tg_records
+
+    engine, processor = tiny_setup
+    bad = tmp_path / "not_a_video.mp4"
+    bad.write_bytes(b"garbage bytes, no container")
+    ann = [
+        {
+            "video": str(bad),
+            "duration": 10.0,
+            "timestamp": [1.0, 2.0],
+            "sentence": "broken row",
+            "qid": "tvg_bad",
+            "pred": None,
+        },
+        {
+            "video": VIDEO,
+            "duration": 35.04,
+            "timestamp": [1.0, 7.5],
+            "sentence": "person sitting down in a chair",
+            "qid": "tvg_good",
+            "video_start": 0.0,
+            "video_end": 3.0,
+            "pred": None,
+        },
+    ]
+    split = tmp_path / "ann_bad.json"
+    split.write_text(json.dumps(ann))
+
+    out_dir = str(tmp_path / "eval_bad")
+    args = evaluate_cli.get_args(
+        [
+            "--model_base", "unused",
+            "--datasets", "tvgbench_filter",
+            "--split", str(split),
+            "--output_dir", out_dir,
+            "--use_r1_thinking_prompt",
+            "--max_new_tokens", "5",
+            "--total_pixels", str(8 * 28 * 28),
+            "--min_pixels", str(4 * 28 * 28),
+        ]
+    )
+    out_file = evaluate_cli.main(args, engine=engine, processor=processor)
+    recs = [json.loads(l) for l in open(out_file)]
+    assert {r["qid"] for r in recs} == {"tvg_bad", "tvg_good"}
+    bad_rec = next(r for r in recs if r["qid"] == "tvg_bad")
+    assert bad_rec["pred"] == [None, None] and "error" in bad_rec
+    # the failed row scores 0.0 but STAYS in the denominator
+    scores = score_tg_records(recs)
+    assert scores["tvg_bad"] == 0.0 and len(scores) == 2
+    # resume: the emitted record means the row is NOT re-attempted
+    evaluate_cli.main(args, engine=engine, processor=processor)
+    assert len([l for l in open(out_file)]) == 2
+
+
+def test_eval_dataset_parallel_decode_matches_serial(tiny_setup, annotations):
+    """num_workers>1 must yield the same items in the same order as the
+    serial path (threaded decode + in-flight dedup is an overlap, not a
+    semantic change)."""
+    from time_r1_tpu.data import EvalDataset
+
+    _, processor = tiny_setup
+    kw = dict(
+        datatype="tg",
+        dataset_names=["tvgbench_filter"],
+        split=annotations,
+        min_pixels=4 * 28 * 28,
+        total_pixels=8 * 28 * 28,
+        use_r1_thinking_prompt=True,
+    )
+    serial = list(EvalDataset(processor, num_workers=0, **kw))
+    par = list(EvalDataset(processor, num_workers=4, **kw))
+    assert [i["qid"] for i in par] == [i["qid"] for i in serial]
+    for a, b in zip(serial, par):
+        assert a["request"].input_ids == b["request"].input_ids
+        assert np.allclose(np.asarray(a["request"].patches), np.asarray(b["request"].patches))
+
+
 def test_evaluate_cli_continuous_batching(tiny_setup, annotations, tmp_path):
     from time_r1_tpu.cli import evaluate as evaluate_cli
 

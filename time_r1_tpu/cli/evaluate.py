@@ -106,6 +106,21 @@ def get_args(argv=None):
     p.add_argument(
         "--limit", type=int, default=0, help="stop after N items (0 = all; parity-harness cap)"
     )
+    p.add_argument(
+        "--video_cache_size",
+        type=int,
+        default=8,
+        help="in-process LRU decoded-video cache entries (LimitedSizeSharedDict "
+        "parity, data/__init__.py:99-139); Charades-style repeated videos "
+        "decode once. 0 disables",
+    )
+    p.add_argument(
+        "--num_workers",
+        type=int,
+        default=8,
+        help="parallel host video-decode workers feeding the prefetch queue "
+        "(DataLoader num_workers parity, data/__init__.py:671-679)",
+    )
     args = p.parse_args(argv)
 
     if any(d in args.datasets for d in ("mvbench", "videomme", "tempcompass", "egoschema")):
@@ -261,6 +276,8 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
         use_nothink=args.use_nothink,
         use_prepared_video=args.use_prepared_video,
         use_answer_prompt=prob_mode,
+        cache_size=getattr(args, "video_cache_size", 8),
+        num_workers=getattr(args, "num_workers", 8),
     )
 
     t0 = time.perf_counter()
@@ -276,6 +293,37 @@ def main(args, engine: Engine = None, processor: Qwen25VLProcessor = None):
     for batch in dataset.iter_batches(args.batch_size):
         if limit and n_done >= limit:
             break
+        # undecodable videos still produce a record: pred is unparsable →
+        # scored 0.0 with the row IN the denominator (the reference emits a
+        # prediction for every row via its backend fallback,
+        # vision_process.py:362-368; silently dropping rows would inflate
+        # calc_score). Resume then skips the row instead of re-attempting.
+        failed = [b for b in batch if b.get("failed")]
+        batch = [b for b in batch if not b.get("failed")]
+        for b in failed:
+            if args.datatype == "tg":
+                rec = {
+                    "qid": b["qid"],
+                    "pred": [None, None],
+                    "target": list(b["timestamps"]),
+                    "duration": b.get("duration"),
+                    "output_text": "",
+                    "error": b.get("error", "video load failed"),
+                }
+            else:
+                rec = {
+                    "qid": b["qid"],
+                    "pred": None,
+                    "target": b["answer"],
+                    "duration": b.get("duration"),
+                    "output_text": "",
+                    "error": b.get("error", "video load failed"),
+                }
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            n_done += 1
+        if not batch:
+            continue
         if prob_mode:
             import numpy as _np
 

@@ -7,12 +7,24 @@ Mirrors src/vllm_inference/data/__init__.py's dataset classes:
 - message shape: explicit system turn + user turn [video, text];
 - nothink appends "<think>\\n</think>\\n" AFTER the generation prompt;
 - prepared-video cache (./video_cache/{name}_test_{tokens}/{video_id}.npz)
-  and an in-process LRU video cache;
+  and an in-process LRU video cache (default ON: Charades averages several
+  sentences per video, so consecutive rows re-decode the same file without it
+  — LimitedSizeSharedDict semantics, data/__init__.py:99-139);
+- parallel host video decode: a worker pool feeds the prefetch queue
+  (DataLoader num_workers=8 + prefetch parity, data/__init__.py:671-679) —
+  threads, because the native FFmpeg decoder (ctypes) and PIL resize release
+  the GIL, so N decodes genuinely overlap without pickling ~30 MB frame
+  arrays across process boundaries; in-flight futures are deduped by video
+  key so the worker window never decodes the same file twice;
 - video decode through the native pipeline (video/), budgeted by
   total_pixels/min_pixels exactly like process_vision_info_v3.
 
 Output item: {"request": sampler.Request, "qid", "duration", and
 "timestamps" (tg) or "answer"+"options" (mcq), "video_path"}.
+Undecodable videos yield a FAILED item ({"failed": True, no "request"}) so
+the eval CLI can emit a scored-as-zero record for the row — the reference
+emits a prediction for every row (backend fallback, vision_process.py:362-368),
+and dropping rows would inflate calc_score's denominator-relative results.
 """
 
 from __future__ import annotations
@@ -70,8 +82,9 @@ class EvalDataset:
         use_nothink: bool = False,
         use_prepared_video: bool = False,
         use_answer_prompt: bool = False,  # HF-style MCQ assistant-prefix path
-        cache_size: int = 0,
+        cache_size: int = 8,
         video_cache_root: str = "./video_cache",
+        num_workers: int = 8,
     ):
         assert datatype in ("tg", "mcq")
         self.processor = processor
@@ -101,6 +114,7 @@ class EvalDataset:
                     os.path.join(video_cache_root, f"{name}_test_{total_pixels // 28 // 28}")
                 )
         self.cache = VideoCache(cache_size)
+        self.num_workers = max(int(num_workers), 0)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -114,9 +128,12 @@ class EvalDataset:
             ele["video_end"] = itm["video_end"]
         return ele
 
+    def _video_key(self, itm: dict) -> str:
+        return repr(sorted(self._video_ele(itm).items()))
+
     def _load_video(self, itm: dict):
         ele = self._video_ele(itm)
-        key = repr(sorted(ele.items()))
+        key = self._video_key(itm)
         cached = self.cache.get(key)
         if cached is not None:
             return cached
@@ -139,8 +156,27 @@ class EvalDataset:
         options = "\n".join(f"({l}) {o}" for l, o in zip(letters, itm["options"]))
         return self.prompt.format(itm["question"], options)
 
-    def build_item(self, itm: dict) -> dict:
-        frames, sample_fps = self._load_video(itm)
+    def _meta_fields(self, itm: dict) -> dict:
+        out = {"qid": itm["qid"], "duration": itm.get("duration"), "video_path": itm["video"]}
+        if self.datatype == "tg":
+            out["timestamps"] = list(itm["timestamp"])
+        else:
+            out["answer"] = itm["answer"]
+            out["options"] = [chr(ord("A") + i) for i in range(len(itm["options"]))]
+        return out
+
+    def failed_item(self, itm: dict, error: Exception) -> dict:
+        """Item emitted for an undecodable video: carries the row metadata but
+        no request, so the CLI writes a scored-as-zero record (keeping the
+        reference's every-row denominator, eval_all.py:107-116) and resume
+        does not re-attempt the row forever."""
+        out = self._meta_fields(itm)
+        out["failed"] = True
+        out["error"] = str(error)
+        return out
+
+    def build_item(self, itm: dict, video=None) -> dict:
+        frames, sample_fps = self._load_video(itm) if video is None else video
         messages = [
             {"role": "system", "content": [{"type": "text", "text": self.sys_prompt}]},
             {
@@ -172,23 +208,75 @@ class EvalDataset:
             grid_thw=tuple(int(x) for x in proc.video_grid_thw[0]),
             second_per_grid_t=proc.second_per_grid_ts[0],
         )
-        out = {"request": req, "qid": itm["qid"], "duration": itm.get("duration"), "video_path": itm["video"]}
-        if self.datatype == "tg":
-            out["timestamps"] = list(itm["timestamp"])
-        else:
-            out["answer"] = itm["answer"]
-            out["options"] = [chr(ord("A") + i) for i in range(len(itm["options"]))]
+        out = self._meta_fields(itm)
+        out["request"] = req
         return out
 
     def __iter__(self) -> Iterator[dict]:
+        if self.num_workers > 1:
+            yield from self._iter_parallel()
+            return
         for itm in self.data:
             try:
                 yield self.build_item(itm)
             except Exception as e:
-                # decode-failure tolerance (§5.3 parity: the reference falls
-                # back to a second video backend; we skip and log — resumable
-                # shards mean the item can be retried later)
-                print(f"[eval] skipping {itm.get('qid')}: video load failed: {e}")
+                # decode-failure tolerance (§5.3): the row still reaches the
+                # output as a failed item — see failed_item
+                print(f"[eval] {itm.get('qid')}: video load failed: {e}")
+                yield self.failed_item(itm, e)
+
+    def _iter_parallel(self) -> Iterator[dict]:
+        """Decode videos num_workers-wide ahead of consumption, in order.
+
+        A sliding window of ThreadPoolExecutor futures runs _load_video (C
+        decode + resize, GIL-released); tokenization stays on the consumer
+        thread. In-flight futures are deduped by video key: Charades-style
+        consecutive same-video rows share ONE decode even before the result
+        lands in the LRU cache."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers * 2
+        inflight: "OrderedDict[int, object]" = OrderedDict()  # row idx → future
+        by_key: dict = {}  # video key → future (alive while any row needs it)
+        key_of: dict = {}
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            it = enumerate(self.data)
+            done = False
+
+            def submit_next():
+                nonlocal done
+                try:
+                    i, itm = next(it)
+                except StopIteration:
+                    done = True
+                    return
+                key = self._video_key(itm)
+                fut = by_key.get(key)
+                if fut is None:
+                    fut = ex.submit(self._load_video, itm)
+                    by_key[key] = fut
+                inflight[i] = fut
+                key_of[i] = key
+
+            while len(inflight) < window and not done:
+                submit_next()
+            while inflight:
+                i, fut = next(iter(inflight.items()))
+                del inflight[i]
+                itm = self.data[i]
+                key = key_of.pop(i)
+                try:
+                    video = fut.result()
+                    if key in by_key and key not in key_of.values():
+                        del by_key[key]
+                    yield self.build_item(itm, video=video)
+                except Exception as e:
+                    by_key.pop(key, None)
+                    print(f"[eval] {itm.get('qid')}: video load failed: {e}")
+                    yield self.failed_item(itm, e)
+                while len(inflight) < window and not done:
+                    submit_next()
 
     def iter_batches(self, batch_size: int, prefetch: int = 2) -> Iterator[List[dict]]:
         """Batched iteration with background-thread prefetch so host video
