@@ -362,6 +362,31 @@ def grpo_loss(
     return loss, metrics
 
 
+def _offloadable(leaf) -> bool:
+    """Leaves worth host-offloading: real moment tensors, not scalars.
+    Scalar/small leaves (adamw count, MultiSteps counters) stay in HBM —
+    their bytes are nil, and XLA's SPMD partitioner RET_CHECKs on
+    host-placement custom-calls for scalar side-effect HLOs."""
+    return getattr(leaf, "ndim", 0) >= 1 and getattr(leaf, "size", 0) >= 1024
+
+
+def _stream_opt_to_device(opt_state, opt_state_sharding):
+    """Inside-jit host→HBM stream of the offloaded optimizer leaves (see
+    make_train_step's offload notes). ONLY pinned-host leaves get an explicit
+    device placement — re-placing already-device-resident leaves (scalar
+    counters) emits annotate_device_placement custom-calls that XLA's SPMD
+    partitioner RET_CHECKs on for scalars."""
+    if opt_state_sharding is None:
+        return opt_state
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s.with_memory_kind("device"))
+        if getattr(s, "memory_kind", None) == "pinned_host"
+        else x,
+        opt_state,
+        opt_state_sharding,
+    )
+
+
 def make_train_step(
     cfg: Qwen25VLConfig, hp: GRPOHyperParams, optimizer, opt_state_sharding=None, cp=None
 ):
@@ -371,7 +396,15 @@ def make_train_step(
     fix_vit: gradients for the vision tower (except merger) are zeroed
     (timer1_trainer.py:272-288 capability).
     opt_state_sharding: optional sharding pytree pinning the optimizer state
-    (e.g. to pinned host memory — ZeRO-offload capability parity).
+    to pinned host memory between steps (ZeRO-offload capability parity,
+    scripts/zero3_offload.json). The update program streams the state through
+    device memory with an explicit device_put on entry (host→HBM) — math on
+    host-space operands is not a thing XLA does — and the CALLER device_puts
+    the returned state back to `opt_state_sharding` outside jit (the trainer
+    does; memory-kind out_shardings trip an XLA SPMD RET_CHECK on scalar
+    placement custom-calls). With the state FSDP-sharded like the params the
+    per-device transient is opt_bytes/n_devices, amortized against the
+    backward pass. Steady-state HBM between steps holds params+grads only.
     cp=(mesh, axis, layout): sequence-sharded (ring attention) loss forward."""
 
     def zero_frozen(tree):
@@ -385,11 +418,13 @@ def make_train_step(
         vis["blocks"] = jax.tree.map(jnp.zeros_like, vis["blocks"])
         return {**tree, "visual": vis}
 
+
     def train_step(params, opt_state, batch: GRPOBatch):
         (loss, metrics), grads = jax.value_and_grad(
             lambda p: grpo_loss(p, cfg, hp, batch, cp=cp), has_aux=True
         )(params)
         grads = zero_frozen(grads)
+        opt_state = _stream_opt_to_device(opt_state, opt_state_sharding)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         updates = zero_frozen(updates)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -403,8 +438,6 @@ def make_train_step(
     # ref-weights trick) may hold references to the previous params pytree.
     # The trainer re-binds its references each step, so peak memory is
     # bounded by XLA's buffer reuse regardless.
-    if opt_state_sharding is not None:
-        return jax.jit(train_step, out_shardings=(None, opt_state_sharding, None, None))
     return jax.jit(train_step)
 
 
@@ -426,6 +459,7 @@ def make_lora_train_step(
     DEFAULT_TARGETS) still merge conventionally."""
     from .lora import lora_layers_tree, merge_lora
 
+
     def train_step(base_params, lora, opt_state, batch: GRPOBatch):
         def loss_fn(lora):
             dec_tree, rest = lora_layers_tree(lora)
@@ -438,6 +472,7 @@ def make_lora_train_step(
             return grpo_loss(p, cfg, hp, batch, cp=cp, lora=dec)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora)
+        opt_state = _stream_opt_to_device(opt_state, opt_state_sharding)
         updates, opt_state = optimizer.update(grads, opt_state, lora)
         lora = jax.tree.map(lambda p, u: p + u, lora, updates)
         gnorm = jnp.sqrt(
@@ -446,6 +481,4 @@ def make_lora_train_step(
         metrics = dict(metrics, grad_norm=gnorm, loss=loss)
         return lora, opt_state, loss, metrics
 
-    if opt_state_sharding is not None:
-        return jax.jit(train_step, out_shardings=(None, opt_state_sharding, None, None))
     return jax.jit(train_step)

@@ -32,6 +32,7 @@ from ..models.qwen25vl import Qwen25VLConfig
 from ..sampler import Engine, Request, SamplingParams
 from .grpo import (
     GRPOHyperParams,
+    _offloadable,
     compute_group_advantages,
     compute_ref_logps,
     make_lora_train_step,
@@ -284,13 +285,43 @@ class GRPOTrainer:
         self.opt_state = self.optimizer.init(trainable)
         opt_sharding = None
         if config.offload_optimizer:
+            # ZeRO-offload parity: AdamW moments live in pinned host memory
+            # between steps; the train step streams them through HBM for the
+            # update (make_train_step's offload notes). With a mesh, the
+            # state is FSDP-sharded by the same rule table as the params
+            # (mu/nu paths end in the param path, so the regex rules apply),
+            # bounding the per-device transient at opt_bytes/n_devices.
+            # Scalars/small leaves (the adamw step count etc.) stay in HBM:
+            # their bytes are nil and XLA's SPMD partitioner rejects
+            # host-placement custom-calls on scalar side-effect HLOs.
             try:
-                dev = jax.devices()[0]
-                host = jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
-                self.opt_state = jax.tree.map(lambda x: jax.device_put(x, host), self.opt_state)
-                opt_sharding = jax.tree.map(lambda _: host, self.opt_state)
+                if self.mesh is not None:
+                    from ..parallel.sharding import param_shardings
+
+                    dev_sh = param_shardings(self.opt_state, self.mesh)
+                    opt_sharding = jax.tree.map(
+                        lambda x, s: s.with_memory_kind("pinned_host")
+                        if _offloadable(x)
+                        else s,
+                        self.opt_state,
+                        dev_sh,
+                    )
+                else:
+                    dev0 = jax.devices()[0]
+                    host = jax.sharding.SingleDeviceSharding(
+                        dev0, memory_kind="pinned_host"
+                    )
+                    dev = jax.sharding.SingleDeviceSharding(dev0)
+                    opt_sharding = jax.tree.map(
+                        lambda x: host if _offloadable(x) else dev, self.opt_state
+                    )
+                self.opt_state = jax.tree.map(
+                    lambda x, s: jax.device_put(x, s), self.opt_state, opt_sharding
+                )
             except Exception as e:
+                opt_sharding = None
                 print(f"[trainer] optimizer host-offload unavailable on this backend: {e}")
+        self._opt_sharding = opt_sharding
         cp = getattr(self, "_cp", None)
         if self.lora is not None:
             self._train_step = make_lora_train_step(
@@ -508,6 +539,10 @@ class GRPOTrainer:
                 self.params, self.opt_state, loss, metrics = self._train_step(
                     self.params, self.opt_state, batch
                 )
+            if self._opt_sharding is not None:
+                # offload: the moments return to pinned host OUTSIDE jit
+                # (async device→host copy; see make_train_step's offload notes)
+                self.opt_state = jax.device_put(self.opt_state, self._opt_sharding)
         for k, v in metrics.items():
             self._log_metric(k, float(v))
         self.global_step += 1
@@ -916,6 +951,9 @@ class GRPOTrainer:
                 self.global_step = json.load(f).get("global_step", self.global_step)
         if restore_opt and os.path.isdir(os.path.join(path, "opt_state")):
             self.opt_state = load_params(path, like=self.opt_state, name="opt_state")
+            if self._opt_sharding is not None:
+                # offloaded moments live in pinned host memory between steps
+                self.opt_state = jax.device_put(self.opt_state, self._opt_sharding)
 
     def save_model_card(self, path: str):
         """Draft model card (timer1_trainer.py:795-857 capability)."""
