@@ -79,3 +79,21 @@ def test_real_video_frame():
     want = _pil_resize(frames, 252, 448)
     diff = np.abs(got.astype(int) - want.astype(int))
     assert (diff > 1).mean() < 0.01
+
+
+def test_default_host_path_is_float_exact():
+    """The DEFAULT resize backend (pipeline.resize_frames_bicubic, no env
+    vars) computes the torchvision-exact single-rounding float path — it must
+    bit-match resize_frames_device. Parity-safe default per SURVEY §7 hard
+    part 2 (the reference preprocesses with torchvision, not PIL)."""
+    import os
+
+    from time_r1_tpu.video.pipeline import resize_frames_bicubic
+
+    assert os.environ.get("TIMER1_DEVICE_RESIZE") != "1"
+    assert os.environ.get("TIMER1_RESIZE_BACKEND") != "pil"
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, size=(3, 360, 640, 3), dtype=np.uint8)
+    got = resize_frames_bicubic(frames, 252, 448)
+    want = resize_frames_device(frames, 252, 448)
+    np.testing.assert_array_equal(got, want)

@@ -33,10 +33,17 @@ from .decoder import VideoReader
 def resize_frames_bicubic(frames_hwc: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """(T, H, W, C) uint8 → (T, out_h, out_w, C) uint8, bicubic+antialias.
 
-    Default backend is PIL on host (shape-agnostic, no recompiles). Set
-    TIMER1_DEVICE_RESIZE=1 to run the separable MXU-matmul kernel
-    (video/resize.py) on the accelerator — torchvision-float semantics,
-    fastest when video shapes repeat (weights/compilations are cached)."""
+    DEFAULT backend computes the separable antialiased bicubic in float32
+    with ONE final rounding — exactly torchvision's antialias=True semantics,
+    the resize the reference runs (vision_process.py:398-403) — as two host
+    matmuls with the precomputed tap-weight matrices (video/resize.py).
+    Alternatives:
+      TIMER1_DEVICE_RESIZE=1     same math on the accelerator (MXU matmuls;
+                                 fastest when video shapes repeat)
+      TIMER1_RESIZE_BACKEND=pil  PIL (rounds to uint8 BETWEEN the separable
+                                 passes — up to 16/255 deviation on steep
+                                 edges vs the reference numerics; kept for
+                                 comparison only)."""
     import os
 
     if frames_hwc.shape[1] == out_h and frames_hwc.shape[2] == out_w:
@@ -45,12 +52,23 @@ def resize_frames_bicubic(frames_hwc: np.ndarray, out_h: int, out_w: int) -> np.
         from .resize import resize_frames_device
 
         return resize_frames_device(frames_hwc, out_h, out_w)
-    from PIL import Image
+    if os.environ.get("TIMER1_RESIZE_BACKEND") == "pil":
+        from PIL import Image
 
-    out = np.empty((frames_hwc.shape[0], out_h, out_w, frames_hwc.shape[3]), np.uint8)
-    for i, f in enumerate(frames_hwc):
-        out[i] = np.asarray(Image.fromarray(f).resize((out_w, out_h), Image.BICUBIC))
-    return out
+        out = np.empty(
+            (frames_hwc.shape[0], out_h, out_w, frames_hwc.shape[3]), np.uint8
+        )
+        for i, f in enumerate(frames_hwc):
+            out[i] = np.asarray(Image.fromarray(f).resize((out_w, out_h), Image.BICUBIC))
+        return out
+    from .resize import resize_weights
+
+    wh = resize_weights(frames_hwc.shape[1], out_h)
+    ww = resize_weights(frames_hwc.shape[2], out_w)
+    x = frames_hwc.astype(np.float32)
+    x = np.einsum("oh,thwc->towc", wh, x, optimize=True)
+    x = np.einsum("pw,towc->topc", ww, x, optimize=True)
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
 
 
 def fetch_video(ele: dict) -> Tuple[np.ndarray, float]:
