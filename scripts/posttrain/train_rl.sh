@@ -6,14 +6,20 @@
 # P*G rollout rows shard over it too. Multi-host: set JAX_COORDINATOR_ADDRESS/
 # JAX_NUM_PROCESSES/JAX_PROCESS_ID per host (torchrun rendezvous parity).
 #
-# TPU-only extras (defaults match the reference recipe; opt in by appending):
+# TPU-only extras (opt in by appending):
 #   --tensor_parallel_size N         model-axis width of the training mesh
-#   --rollout_quantization int8      ~1.7x faster rollouts (loss logps stay full precision)
 #   --use_peft true --lora_r 16      adapter-only training, base doubles as the KL ref
 #   --per_device_train_batch_size N  example-level DP: N prompts x G rollouts per step
+#
+# Rollouts default to weight-only int8 below (~1.9x faster decode; measured
+# in bench.py). Same capability class as the reference's vLLM rollout server
+# (which never bit-matches its DeepSpeed trainer forward either): the loss
+# and ref logps are recomputed from the full-precision weights. Set
+# ROLLOUT_QUANT="" for bf16 rollouts.
 set -euo pipefail
 
 export EXP_NAME=${EXP_NAME:-3b_kl_cot_gaussian_03_iouv2_2500_ME}
+ROLLOUT_QUANT=${ROLLOUT_QUANT-int8}
 export DEBUG_MODE=${DEBUG_MODE:-true}
 export LOG_PATH=${LOG_PATH:-./logs/$EXP_NAME/$EXP_NAME.txt}
 
@@ -44,4 +50,5 @@ python -m time_r1_tpu.cli.train \
     --logging_dir "$OUTDIR" \
     --logging_steps 1 \
     --save_steps 50 \
-    --save_only_model true
+    --save_only_model true \
+    ${ROLLOUT_QUANT:+--rollout_quantization "$ROLLOUT_QUANT"}
