@@ -226,6 +226,28 @@ def test_lora_quantized_rollouts_example_dp_compose(tmp_path):
     assert "kl" in m and "reward" in m
 
 
+def test_fused_merge_quantize_matches_two_step(tmp_path):
+    """The fused LoRA merge→quantize program (one jit, no full merged tree in
+    HBM — what lets LoRA + int8 rollouts fit one 16 GB chip) must bit-match
+    what the engine previously installed: merge_jit followed by
+    quantize_params_jit. (The oracle must be the JIT pipeline — XLA CPU's
+    eager max-reduction rounds differently from the compiled one, so eager
+    quantize_params is NOT bit-identical to either jit path.)"""
+    from time_r1_tpu.ops.quant import quantize_params_jit
+
+    trainer = _trainer(
+        tmp_path, use_peft=True, lora_r=4, lora_alpha=8.0, rollout_quantization="int8"
+    )
+    assert trainer._merge_quant_jit is not None
+    got = trainer._merge_quant_jit(trainer.params, trainer.lora)
+    want = quantize_params_jit(trainer._merge_jit(trainer.params, trainer.lora), bits=8)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got)[0],
+        jax.tree_util.tree_flatten_with_path(want)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(kp))
+
+
 def test_lora_resume_restores_adapters_and_opt_state(tmp_path):
     """LoRA resume consistency (ADVICE r2): the checkpoint's adapters are
     reloaded into self.lora (base stays the original frozen checkpoint) so

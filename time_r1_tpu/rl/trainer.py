@@ -202,6 +202,7 @@ class GRPOTrainer:
         # (vs the non-peft path's second full checkpoint).
         self.lora = None
         self._merge_jit = None
+        self._merge_quant_jit = None
         if config.use_peft:
             from .lora import LoRAConfig, init_lora, merge_lora
 
@@ -213,6 +214,21 @@ class GRPOTrainer:
             self._merge_jit = jax.jit(
                 lambda base, ad: merge_lora(base, ad, self.lora_cfg)
             )
+            if config.rollout_quantization:
+                # fused merge→quantize as ONE program: the full merged bf16
+                # tree never materializes in HBM (XLA frees each merged leaf
+                # as soon as its quantize consumes it). Peak per rollout-sync
+                # step drops from base+merged+int8 (~16 GB at 3B) to
+                # base+int8+one-leaf transients — this is what lets LoRA +
+                # int8 rollouts run on one 16 GB chip.
+                from ..ops.quant import quantize_params
+
+                _bits = {"int8": 8, "int4": 4}[config.rollout_quantization]
+                self._merge_quant_jit = jax.jit(
+                    lambda base, ad: quantize_params(
+                        merge_lora(base, ad, self.lora_cfg), bits=_bits
+                    )
+                )
             if config.beta != 0.0 and ref_params is None:
                 ref_params = params
         self.ref_params = ref_params if config.beta != 0.0 else None
@@ -425,8 +441,14 @@ class GRPOTrainer:
         c = self.c
         G = c.num_generations
         # live weights once per optimizer step (LoRA merge / re-quantization
-        # are full passes over the tree — not per example)
-        self.engine.set_params(self._policy_params())
+        # are full passes over the tree — not per example). LoRA + quantized
+        # rollouts ride the fused merge+quantize program (see __init__).
+        if self.lora is not None and self._merge_quant_jit is not None:
+            self.engine.set_params(
+                self._merge_quant_jit(self.params, self.lora), prequantized=True
+            )
+        else:
+            self.engine.set_params(self._policy_params())
 
         # pack ALL P examples into one request batch: the engine prefills each
         # unique prompt once and decodes the P·G rows together (the reference's

@@ -314,10 +314,18 @@ class Engine:
         self.kv_cache_quant = kv_cache_quant
         self.prefill_chunk_tokens = prefill_chunk_tokens
 
-    def set_params(self, params: dict) -> None:
+    def set_params(self, params: dict, *, prequantized: bool = False) -> None:
         """Swap in live policy weights (GRPO rollouts), re-quantizing when the
-        engine runs a weight-only quantized decode path."""
-        if self.quantization:
+        engine runs a weight-only quantized decode path.
+
+        prequantized=True: the caller already produced the quantized tree
+        (e.g. the trainer's fused LoRA merge+quantize program) — install as-is.
+        The previous copy is dropped BEFORE the re-quantize pass runs so its
+        HBM is reusable as the pass's output buffer (the swap happens once per
+        optimizer step; without the early drop the old int8 tree, the new
+        input tree and the new int8 tree are all live at once)."""
+        self.params = None
+        if self.quantization and not prequantized:
             from ..ops.quant import quantize_params_jit
 
             params = quantize_params_jit(params, bits={"int8": 8, "int4": 4}[self.quantization])
