@@ -81,11 +81,25 @@ def test_real_video_frame():
     assert (diff > 1).mean() < 0.01
 
 
-def test_default_host_path_is_float_exact():
+def _torch_resize(frames, out_h, out_w):
+    """THE reference semantics: torch bicubic antialias=True (what
+    torchvision's Resize calls into — vision_process.py:398-403), float
+    throughout, one final round-half-even + clip."""
+    import torch
+    import torch.nn.functional as F
+
+    x = torch.from_numpy(frames).permute(0, 3, 1, 2).float()
+    x = F.interpolate(x, size=(out_h, out_w), mode="bicubic", antialias=True)
+    return torch.clamp(x.round(), 0, 255).to(torch.uint8).permute(0, 2, 3, 1).numpy()
+
+
+def test_default_host_path_matches_torch_reference():
     """The DEFAULT resize backend (pipeline.resize_frames_bicubic, no env
-    vars) computes the torchvision-exact single-rounding float path — it must
-    bit-match resize_frames_device. Parity-safe default per SURVEY §7 hard
-    part 2 (the reference preprocesses with torchvision, not PIL)."""
+    vars — the native banded float kernel) must match torch's antialiased
+    bicubic to ≤1 gray level on a vanishing fraction of pixels (f32
+    accumulation-order ulps at round-half ties only; PIL's inter-pass
+    rounding deviates up to 16 gray levels — see test above). Parity-safe
+    default per SURVEY §7 hard part 2."""
     import os
 
     from time_r1_tpu.video.pipeline import resize_frames_bicubic
@@ -93,7 +107,22 @@ def test_default_host_path_is_float_exact():
     assert os.environ.get("TIMER1_DEVICE_RESIZE") != "1"
     assert os.environ.get("TIMER1_RESIZE_BACKEND") != "pil"
     rng = np.random.default_rng(2)
-    frames = rng.integers(0, 256, size=(3, 360, 640, 3), dtype=np.uint8)
-    got = resize_frames_bicubic(frames, 252, 448)
-    want = resize_frames_device(frames, 252, 448)
-    np.testing.assert_array_equal(got, want)
+    frames = rng.integers(0, 256, size=(8, 360, 640, 3), dtype=np.uint8)
+    got = resize_frames_bicubic(frames, 196, 364)
+    want = _torch_resize(frames, 196, 364)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()
+
+
+def test_device_path_matches_torch_reference():
+    """resize_frames_device rides the MXU at precision=HIGHEST — it must hold
+    the same ≤1-gray bound vs torch (at default MXU precision it drifts ±2 on
+    ~22% of pixels — measured on v5e; that's why HIGHEST is forced)."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(4, 360, 640, 3), dtype=np.uint8)
+    got = resize_frames_device(frames, 196, 364)
+    want = _torch_resize(frames, 196, 364)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 1e-3, (diff > 0).mean()

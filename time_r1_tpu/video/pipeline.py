@@ -61,14 +61,9 @@ def resize_frames_bicubic(frames_hwc: np.ndarray, out_h: int, out_w: int) -> np.
         for i, f in enumerate(frames_hwc):
             out[i] = np.asarray(Image.fromarray(f).resize((out_w, out_h), Image.BICUBIC))
         return out
-    from .resize import resize_weights
+    from .resize import resize_frames_host
 
-    wh = resize_weights(frames_hwc.shape[1], out_h)
-    ww = resize_weights(frames_hwc.shape[2], out_w)
-    x = frames_hwc.astype(np.float32)
-    x = np.einsum("oh,thwc->towc", wh, x, optimize=True)
-    x = np.einsum("pw,towc->topc", ww, x, optimize=True)
-    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+    return resize_frames_host(frames_hwc, out_h, out_w)
 
 
 def fetch_video(ele: dict) -> Tuple[np.ndarray, float]:
