@@ -1,46 +1,59 @@
-"""Headline benchmark: GRPO-rollout decode throughput on one TPU chip.
+"""Driver benchmark suite — the BASELINE.json metric triplet, measured on one
+TPU chip: GRPO rollout+train tokens/sec/chip (3B today, 7B decode included;
+real 7B training is a v5p-16 deployment — see scripts/lower_7b.py), and video
+preproc frames/sec. R1@0.5 parity is accuracy, driven by cli/parity.py the day
+real checkpoints exist.
 
-Shape mirrors the reference's hot loop #1 (timer1_trainer.py:568-573): G=8
-grouped rollouts from a ~1.7k-token video prompt (1568 video tokens + text,
-the recipes' 3584·28² pixel budget), Qwen2.5-VL-3B architecture.
+Prints MULTIPLE json lines {"metric", "value", "unit", "vs_baseline"}, the
+headline (3B int8 rollout decode, the series tracked since round 1) LAST.
+Sections run in their own subprocesses so each starts with the whole HBM and
+one section's failure cannot block the others. Side measurements (prefill,
+engine end-to-end, per-phase splits) go to stderr.
 
-Decode runs the weight-only int8 path plus the int8 KV cache
-(ops/quant.py): decode at this batch is HBM-bound, and int8 halves the
-weight stream (bf16 ≈ 9.7 ms/step vs int8 ≈ 5.6 ms/step at 2k context on
-v5e). The G rows share ONE physical prompt-KV copy (mha_shared_prefix, the
-engine's rollout layout) so the prefix streams once per step, not G times.
-Rollout sampling through a quantized
-policy is the same capability class as the reference's vLLM rollouts (which
-never bit-match its DeepSpeed trainer forward either); logps for the loss
-are recomputed in bf16.
+Baselines (`vs_baseline`): the reference publishes NO throughput numbers
+(BASELINE.md) —
+- decode 3B: A100_VLLM_3B_DECODE_TOKS_PER_S, a conservative public ballpark
+  for vLLM 0.8.x Qwen2.5-VL-3B batched decode on one A100 at this batch size.
+- decode 7B: the 3B ballpark scaled by the decode weight-stream ratio
+  (decode at bs=8 is HBM-bound; 7B streams ~2.2× the 3B decoder bytes).
+- train step: a derived A100 estimate (documented at the constant) — rollout
+  at the vLLM ballpark + full-row torch fwd/bwd at 40% MFU + update.
+- video preproc: MEASURED on this host — the same decode feeding the
+  reference's torch bicubic-antialias resize + torch CLIP patchify
+  (vision_process.py's stack, minus decord which cannot run here).
 
-The reference publishes no throughput numbers (BASELINE.md) — `vs_baseline`
-is measured against A100_VLLM_3B_DECODE_TOKS_PER_S, a conservative public
-ballpark for vLLM 0.8.x Qwen2.5-VL-3B batched decode on one A100 at this
-batch size. Driver target: ≥2× (BASELINE.md north star).
-
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-Side measurements (engine end-to-end, prefill) go to stderr.
+Shapes mirror the reference's hot loop #1 (timer1_trainer.py:568-607): G=8
+grouped rollouts from a ~1.8k-token video prompt (1568 video tokens + text,
+the recipes' 3584·28² pixel budget), ~200-token completions.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 A100_VLLM_3B_DECODE_TOKS_PER_S = 700.0
+# 7B decode at bs=8 is weight-stream-bound like 3B; scale the 3B ballpark by
+# the decoder bytes ratio (3B text ≈ 3.1 GB bf16 vs 7B text ≈ 6.9 GB → ×0.45)
+A100_VLLM_7B_DECODE_TOKS_PER_S = 320.0
+# Derived A100 3B GRPO step estimate (per chip, LoRA, G=8×200-token rollouts
+# from a 1.8k-token video prompt): vLLM rollout 1600 tokens at the 700 tok/s
+# ballpark ≈ 2.3 s + prefill/vision ≈ 0.4 s; torch full-row fwd+bwd over
+# 8×(1792+200) tokens at 3B ≈ 2.9e14 FLOPs → ≈ 2.3 s at 40% MFU of 312
+# TFLOPs bf16; rewards+update ≈ 0.2 s → ≈ 5.2 s / 1600 completion tokens.
+A100_GRPO_3B_E2E_STEP_TOKS_PER_S = 310.0
 
 BATCH = 8  # G in the GRPO recipes
 PROMPT_TEXT_TOKENS = 224  # total prompt = 224-2+1568+2 = 1792 (14×128, flash-aligned)
 VIDEO_GRID = (8, 28, 28)  # 6272 patches → 1568 video tokens (3584·28² budget)
 DECODE_STEPS = 128
+REF_VIDEO = "/root/reference/assets/OHOFG.mp4"
 
 
-def main():
-    import functools
-    import os
-
+def _setup_jax():
     import jax
 
     # persistent compilation cache: the driver re-runs bench every round on
@@ -50,32 +63,22 @@ def main():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
+
+def _sync(x):
+    # timing syncs use a host transfer — jax.block_until_ready has been
+    # observed to return before remote completion on the tunneled TPU backend
     import jax.numpy as jnp
 
-    from time_r1_tpu.models.qwen25vl import (
-        KVCache,
-        Qwen25VLConfig,
-        VisionInputs,
-        forward,
-        get_rope_index,
-        init_params,
-        prepare_vision_inputs,
-    )
-    from time_r1_tpu.sampler import Engine, Request
-    from time_r1_tpu.sampler.engine import sample_tokens
-    from time_r1_tpu.sampler.params import SamplingParams
+    return float(jnp.sum(x.astype(jnp.float32)))
 
-    cfg = Qwen25VLConfig.qwen25vl_3b()
-    # throughput is weight-value-independent on TPU; zeros-init skips ~2 min
-    # of on-device RNG for 3B params
-    shapes = jax.eval_shape(lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
+def _build_prompt(cfg, rng):
+    """One recipe-shaped video prompt row + raw patches."""
     t, h, w = VIDEO_GRID
     n_patches = t * h * w
     n_vis = n_patches // 4
-    rng = np.random.default_rng(0)
     row = np.concatenate(
         [
             rng.integers(2, 100000, PROMPT_TEXT_TOKENS - 2),
@@ -84,14 +87,36 @@ def main():
             [cfg.vision_end_token_id],
         ]
     )
-    S = row.shape[0]
     patches = rng.normal(size=(n_patches, cfg.vision.patch_input_dim)).astype(np.float32)
+    return row, patches
 
+
+def _decode_bench(cfg, params, quant_kv: bool, tag: str):
+    """Prefill 1×S (shared by G rows) + 128-step shared-prefix decode on the
+    given (possibly weight-quantized) params. Returns decode tokens/s."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from time_r1_tpu.models.qwen25vl import (
+        KVCache,
+        VisionInputs,
+        forward,
+        forward_shared_decode,
+        get_rope_index,
+        prepare_vision_inputs,
+        suffix_cache_zeros,
+    )
+    from time_r1_tpu.ops.quant import quantize_kv_cache
+    from time_r1_tpu.sampler.engine import sample_tokens
+    from time_r1_tpu.sampler.params import SamplingParams
+
+    rng = np.random.default_rng(0)
+    row, patches = _build_prompt(cfg, rng)
+    S = row.shape[0]
     sp = SamplingParams(temperature=1.0, max_new_tokens=DECODE_STEPS)
 
-    # GRPO rollouts prefill each UNIQUE prompt once; the decode keeps ONE
-    # physical prompt-KV copy shared by the G rows (mha_shared_prefix) —
-    # the layout the engine actually runs (sampler/engine.decode_loop_shared)
     ids1 = row[None, :]
     mask1 = np.ones((1, S), np.int64)
     pos_ids1, _ = get_rope_index(
@@ -105,24 +130,11 @@ def main():
     prep1 = prepare_vision_inputs([VIDEO_GRID], cfg.vision)
     mask1j = jnp.asarray(mask1)
 
-    # int8 weight-only decode params + int8 KV cache (the quantized-rollout
-    # path); the bf16 tree is dropped immediately — 6.2 GB of HBM back
-    from time_r1_tpu.ops.quant import quantize_kv_cache
-
-    engine = Engine(params, cfg, quantization="int8", kv_cache_quant=True)
-    p8 = engine.params
-    del params
-    jax.block_until_ready(p8)
-
-    from time_r1_tpu.models.qwen25vl import forward_shared_decode, suffix_cache_zeros
-
     @jax.jit
     def prefill(params, ids, pos_ids, vis):
         # one row per UNIQUE prompt, prompt-length cache only (the shared
-        # prefix never grows)
+        # prefix never grows); flash_q_offset=0 rides the Pallas flash kernel
         cache = KVCache.zeros(cfg.text, 1, S, dtype=jnp.bfloat16)
-        # flash_q_offset=0: MXU-aligned prefill rides the Pallas flash kernel
-        # (the engine's chunked-prefill path does the same)
         logits, cache = forward(
             params, cfg, ids, pos_ids, attention_mask=mask1j, vision=vis, cache=cache,
             flash_q_offset=0,
@@ -151,49 +163,104 @@ def main():
         )
         return suffix, last
 
-    # compile + warmup (int8 path). NOTE: timing syncs use a host transfer
-    # (float(jnp.sum(...))) — jax.block_until_ready has been observed to
-    # return before remote completion on the tunneled TPU backend.
-    def sync(x):
-        return float(jnp.sum(x.astype(jnp.float32)))
+    def make_prefix(cache):
+        return quantize_kv_cache(cache) if quant_kv else cache
 
     vis1 = VisionInputs.build(prep1, jnp.asarray(patches, jnp.bfloat16))
     ids1j, pos1j = jnp.asarray(ids1), jnp.asarray(pos_ids1)
-    cache, first = prefill(p8, ids1j, pos1j, vis1)
-    sync(first)
+    cache, first = prefill(params, ids1j, pos1j, vis1)
+    _sync(first)
     t0 = time.perf_counter()
-    cache2, f2 = prefill(p8, ids1j, pos1j, vis1)
-    sync(f2)
+    cache2, f2 = prefill(params, ids1j, pos1j, vis1)
+    _sync(f2)
     prefill_time = time.perf_counter() - t0
     del cache2
 
-    prefix = quantize_kv_cache(cache)
-    suffix0 = suffix_cache_zeros(cfg.text, BATCH, DECODE_STEPS, quant=True)
+    suffix0 = suffix_cache_zeros(cfg.text, BATCH, DECODE_STEPS, quant=quant_kv)
+    prefix = make_prefix(cache)
     first_g = jnp.broadcast_to(first, (BATCH,))
-    s3, l3 = decode(p8, prefix, suffix0, first_g, DECODE_STEPS)  # warmup/compile
-    sync(l3)
+    s3, l3 = decode(params, prefix, suffix0, first_g, DECODE_STEPS)  # compile
+    _sync(l3)
     del s3
     # steady-state throughput: best of 3 timed runs (each from a fresh
     # prefilled cache; host jitter through the TPU tunnel is the noise)
     decode_time = float("inf")
     for _ in range(3):
-        cache, first = prefill(p8, ids1j, pos1j, vis1)
-        prefix = quantize_kv_cache(cache)
+        cache, first = prefill(params, ids1j, pos1j, vis1)
+        prefix = make_prefix(cache)
         first_g = jnp.broadcast_to(first, (BATCH,))
         # timing must not absorb the async prefill OR the cache quantize
-        sync(first)
-        sync(prefix.k_scale[0, 0, 0])
+        _sync(first)
+        _sync((prefix.k_scale if quant_kv else prefix.k)[0, 0, 0])
         t0 = time.perf_counter()
-        s4, l4 = decode(p8, prefix, suffix0, first_g, DECODE_STEPS)
-        sync(l4)  # host transfer — forces real completion
+        s4, l4 = decode(params, prefix, suffix0, first_g, DECODE_STEPS)
+        _sync(l4)  # host transfer — forces real completion
         decode_time = min(decode_time, time.perf_counter() - t0)
         del s4, cache, prefix
 
+    n_vis = (VIDEO_GRID[0] * VIDEO_GRID[1] * VIDEO_GRID[2]) // 4
+    print(
+        f"[bench:{tag}] prefill(1x{S} tokens incl. {n_vis} video, shared by G={BATCH}) "
+        f"= {prefill_time*1e3:.0f} ms; decode {DECODE_STEPS} steps = {decode_time*1e3:.0f} ms "
+        f"({decode_time/DECODE_STEPS*1e3:.2f} ms/step)",
+        file=sys.stderr,
+    )
+    return BATCH * DECODE_STEPS / decode_time
+
+
+def _zeros_like_shapes(shapes):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def section_decode3b():
+    """bf16 AND int8w+int8kv 3B shared-prefix rollout decode + the real
+    engine end-to-end (stderr). The int8 line is the series headline."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from time_r1_tpu.models.qwen25vl import Qwen25VLConfig, init_params
+    from time_r1_tpu.sampler import Engine, Request
+    from time_r1_tpu.sampler.params import SamplingParams
+
+    cfg = Qwen25VLConfig.qwen25vl_3b()
+    # throughput is weight-value-independent on TPU; zeros-init skips ~2 min
+    # of on-device RNG for 3B params
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    params = _zeros_like_shapes(shapes)
+
+    # bf16 policy decode (what the recipe runs with ROLLOUT_QUANT="")
+    bf16_tps = _decode_bench(cfg, params, quant_kv=False, tag="3b-bf16")
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_rollout_decode_throughput_3b_bs8_bf16",
+                "value": round(bf16_tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(bf16_tps / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
+            }
+        )
+    )
+
+    # int8 weight-only + int8 KV (the train_rl.sh default rollout config);
+    # the bf16 tree is dropped immediately — 6.2 GB of HBM back
+    engine = Engine(params, cfg, quantization="int8", kv_cache_quant=True)
+    p8 = engine.params
+    del params
+    jax.block_until_ready(p8)
+    int8_tps = _decode_bench(cfg, p8, quant_kv=True, tag="3b-int8")
+
     # the REAL engine path (shared-prefix G-way rollout incl. admission,
-    # chunked prefill, while_loop decode with stop handling + host sync)
+    # chunked prefill, while_loop decode with stop handling + host sync);
     # patches pre-staged on device: measures the ENGINE, not the host link
     # (a real TPU host feeds patches over PCIe; the axon tunnel would charge
     # ~15 MB of host→device transfer to the vision phase otherwise)
+    rng = np.random.default_rng(0)
+    row, patches = _build_prompt(cfg, rng)
     req = Request(
         input_ids=row.tolist(),
         patches=jnp.asarray(patches, jnp.bfloat16),
@@ -208,23 +275,292 @@ def main():
     outs = engine.generate([req], esp)
     engine_time = time.perf_counter() - t0
     engine_toks = sum(len(o) for o in outs)
-
-    toks_per_s = BATCH * DECODE_STEPS / decode_time
-    result = {
-        "metric": "grpo_rollout_decode_throughput_3b_bs8_int8w_int8kv",
-        "value": round(toks_per_s, 1),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(toks_per_s / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
-    }
     print(
-        f"[bench] int8w prefill(1x{S} tokens incl. {n_vis} video, shared by G={BATCH}) = {prefill_time*1e3:.0f} ms; "
-        f"decode {DECODE_STEPS} steps = {decode_time*1e3:.0f} ms "
-        f"({decode_time/DECODE_STEPS*1e3:.2f} ms/step); "
-        f"engine end-to-end G={BATCH} = {engine_time*1e3:.0f} ms for {engine_toks} tokens "
-        f"({engine_toks/engine_time:.0f} tok/s incl. prefill+vision)",
+        f"[bench:3b-engine] end-to-end G={BATCH} = {engine_time*1e3:.0f} ms for "
+        f"{engine_toks} tokens ({engine_toks/engine_time:.0f} tok/s incl. prefill+vision)",
         file=sys.stderr,
     )
-    print(json.dumps(result))
+
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_rollout_decode_throughput_3b_bs8_int8w_int8kv",
+                "value": round(int8_tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(int8_tps / A100_VLLM_3B_DECODE_TOKS_PER_S, 3),
+            }
+        )
+    )
+
+
+def section_decode7b():
+    """7B (the north-star model) int8w+int8kv rollout decode on ONE chip.
+    bf16 7B (15.5 GB) exceeds one 16 GB chip — int8 weight-only (~7 GB text
+    + bf16 vision) is the single-chip serving configuration; the int8 tree is
+    built directly from eval_shape'd quantize_params shapes so the bf16 tree
+    never materializes."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from time_r1_tpu.models.qwen25vl import Qwen25VLConfig, init_params
+    from time_r1_tpu.ops.quant import quantize_params
+
+    cfg = Qwen25VLConfig.qwen25vl_7b()
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    qshapes = jax.eval_shape(lambda t: quantize_params(t, bits=8), shapes)
+    p8 = _zeros_like_shapes(qshapes)
+    jax.block_until_ready(p8)
+
+    tps = _decode_bench(cfg, p8, quant_kv=True, tag="7b-int8")
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_rollout_decode_throughput_7b_bs8_int8w_int8kv",
+                "value": round(tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tps / A100_VLLM_7B_DECODE_TOKS_PER_S, 3),
+            }
+        )
+    )
+
+
+def section_train3b():
+    """FULL GRPO train step end-to-end at the recipe shape on one chip:
+    video decode+preproc → int8 rollout (G=8 × 200 tokens, shared prefix) →
+    host rewards → split-loss fwd+bwd (in-scan LoRA — the single-chip 3B
+    training configuration; full-tree 3B grads need params+grads = 12.4 GB
+    and are a multi-chip FSDP deployment) → adamw. tokens/s = completion
+    tokens generated per wall-second of the whole step."""
+    _setup_jax()
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import jax
+    import jax.numpy as jnp
+    from tiny_tokenizer import TinyTokenizer
+
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import Qwen25VLConfig, init_params
+    from time_r1_tpu.rl import GRPOTrainer, TrainConfig
+    from time_r1_tpu.utils.rewards import REWARD_FUNCS_REGISTRY
+    from time_r1_tpu.video.pipeline import video_loader
+
+    cfg = Qwen25VLConfig.qwen25vl_3b()
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    params = _zeros_like_shapes(shapes)
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=cfg.pad_token_id, eos_token_id=cfg.eos_token_id
+    )
+    outdir = "/tmp/bench_train3b"
+    config = TrainConfig(
+        output_dir=outdir,
+        num_generations=BATCH,
+        max_completion_length=200,
+        temperature=1.0,
+        beta=0.04,  # posttrain recipe KL; base doubles as ref via LoRA
+        use_peft=True,
+        lora_r=16,
+        rollout_quantization="int8",
+        gradient_checkpointing=True,  # train_rl.sh sets it; 16 GB needs remat
+        gradient_accumulation_steps=1,
+        report_to="none",
+    )
+    trainer = GRPOTrainer(
+        params,
+        cfg,
+        processor,
+        reward_funcs=[REWARD_FUNCS_REGISTRY["format"], REWARD_FUNCS_REGISTRY["iou_v2"]],
+        config=config,
+        video_loader=video_loader,
+        mesh=None,
+    )
+    # count the completion tokens each step actually generated (zeros weights
+    # sample ~uniformly — EOS inside 200 steps is negligible but COUNT, don't
+    # assume)
+    gen_tokens = {"n": 0}
+    real_generate = trainer.engine.generate
+
+    def counting_generate(reqs, sp):
+        outs = real_generate(reqs, sp)
+        gen_tokens["n"] = sum(len(o) for o in outs)
+        return outs
+
+    trainer.engine.generate = counting_generate
+
+    # video_start/end 0..8 at fps 2 → 16 frames → grid (8,28,28) = 1568 video
+    # tokens, the same recipe shape as the decode sections
+    example = {
+        "task_type": "tg",
+        "problem": "person sitting down in a chair",
+        "solution": (1.0, 7.5),
+        "video_path": REF_VIDEO,
+        "durations": 35.04,
+        "video_start": 0.0,
+        "video_end": 8.0,
+    }
+    trainer.step(dict(example))  # compile (rollout + loss fwd/bwd + update)
+    trainer.timers.reset()
+    best = float("inf")
+    toks = 0
+    n_meas = 3
+    for _ in range(n_meas):
+        t0 = time.perf_counter()
+        trainer.step(dict(example))
+        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, toks = dt, gen_tokens["n"]
+    tps = toks / best
+    phases = "  ".join(
+        f"{k}={v['mean_ms']:.0f}ms" for k, v in sorted(trainer.timers.summary().items())
+    )
+    print(
+        f"[bench:train3b] e2e step = {best*1e3:.0f} ms for {toks} completion tokens "
+        f"(decode+preproc+rollout+rewards+fwd/bwd+adamw); phase means over "
+        f"{n_meas} steps: {phases}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_train_step_e2e_3b_lora_int8rollout",
+                "value": round(tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tps / A100_GRPO_3B_E2E_STEP_TOKS_PER_S, 3),
+            }
+        )
+    )
+
+
+def section_preproc():
+    """Host video preprocessing frames/s on the in-repo real video at the
+    recipes' pixel budget: FFmpeg decode → budgeted bicubic resize
+    (torchvision-float-exact einsum path) → CLIP patchify. Baseline is
+    MEASURED here: the same decode feeding torch bicubic-antialias resize +
+    torch CLIP-normalize/patchify — the reference's vision_process.py stack
+    on this host (minus decord, which cannot run here; decode time is common
+    to both)."""
+    from time_r1_tpu.models.processor import patchify_video
+    from time_r1_tpu.video.pipeline import fetch_video
+
+    ele = {
+        "video": REF_VIDEO,
+        "total_pixels": 3584 * 28 * 28,
+        "min_pixels": 16 * 28 * 28,
+    }
+
+    def ours():
+        frames, fps = fetch_video(dict(ele))  # decode + resize, TCHW float
+        flat, grid = patchify_video(frames)
+        return frames.shape[0], flat
+
+    # warmup (page cache for the file)
+    n_frames, flat = ours()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_frames, flat = ours()
+        best = min(best, time.perf_counter() - t0)
+    ours_fps = n_frames / best
+
+    # ---- reference-stack baseline on the same host ----
+    import torch
+    import torch.nn.functional as F
+
+    from time_r1_tpu.models.processor import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+    from time_r1_tpu.utils.vision_math import plan_frame_window, plan_video_shapes
+    from time_r1_tpu.video.decoder import VideoReader
+
+    mean = torch.tensor(OPENAI_CLIP_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(OPENAI_CLIP_STD).view(1, 3, 1, 1)
+
+    def torch_stack():
+        vr = VideoReader(ele["video"])
+        plan = plan_frame_window(ele, total_frames=len(vr), video_fps=vr.get_avg_fps())
+        raw = vr.get_batch(list(plan.indices))  # (T, H, W, C) uint8
+        vr.close()
+        T, H, W, C = raw.shape
+        out_h, out_w = plan_video_shapes(
+            H, W, nframes=T, total_pixels=ele["total_pixels"], min_pixels=ele["min_pixels"]
+        )
+        x = torch.from_numpy(raw).permute(0, 3, 1, 2).float()
+        x = F.interpolate(x, size=(out_h, out_w), mode="bicubic", antialias=True)
+        # vision_process.py resizes then .float(); the processor rescales,
+        # CLIP-normalizes and patchifies (Qwen2VLImageProcessor._preprocess)
+        x = (x * (1.0 / 255.0) - mean) / std
+        tp, ps, ms = 2, 14, 2
+        gt, gh, gw = T // tp, out_h // ps, out_w // ps
+        x = x.reshape(gt, tp, 3, gh // ms, ms, ps, gw // ms, ms, ps)
+        x = x.permute(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        flat = x.reshape(gt * gh * gw, 3 * tp * ps * ps).contiguous()
+        return T, flat.numpy()
+
+    n2, flat2 = torch_stack()  # warmup
+    t_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n2, flat2 = torch_stack()
+        t_best = min(t_best, time.perf_counter() - t0)
+    torch_fps = n2 / t_best
+
+    print(
+        f"[bench:preproc] {n_frames} frames (decode→resize→patchify, "
+        f"{flat.shape[0]} patches): ours {best*1e3:.0f} ms ({ours_fps:.1f} f/s) vs "
+        f"torch-stack {t_best*1e3:.0f} ms ({torch_fps:.1f} f/s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "video_preproc_host_throughput",
+                "value": round(ours_fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(ours_fps / torch_fps, 3),
+            }
+        )
+    )
+
+
+SECTIONS = {
+    "preproc": section_preproc,
+    "train3b": section_train3b,
+    "decode7b": section_decode7b,
+    "decode3b": section_decode3b,
+}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        SECTIONS[sys.argv[2]]()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)  # TPU-tunnel plugin may abort in a background thread at exit
+
+    lines = []
+    for name in SECTIONS:  # decode3b (headline) runs & prints last
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            print(f"[bench] section {name} FAILED (rc={proc.returncode})", file=sys.stderr)
+            continue
+        for ln in proc.stdout.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                lines.append(ln)
+        print(
+            f"[bench] section {name} done in {time.perf_counter()-t0:.0f} s",
+            file=sys.stderr,
+        )
+    for ln in lines:
+        print(ln)
 
 
 if __name__ == "__main__":

@@ -232,6 +232,7 @@ def _run(args, trainer, mesh, dataset):
             total_pixels=args.total_pixels,
             min_pixels=args.video_min_pixels,
             report_to=args.report_to,
+            run_name=args.run_name,
             logging_dir=args.logging_dir,
         )
         with _mesh_ctx(mesh):

@@ -77,6 +77,21 @@ PROMPT_TEMPLATES = {
 }
 
 
+class _MultiSink:
+    """Fan metric logs out to every configured sink (tensorboard, wandb)."""
+
+    def __init__(self, sinks):
+        self.sinks = sinks
+
+    def log(self, metrics, step):
+        for s in self.sinks:
+            s.log(metrics, step)
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
 @dataclass
 class TrainConfig:
     """Flag-name parity with the reference recipes (main.py:44-119 + GRPOConfig)."""
@@ -130,7 +145,8 @@ class TrainConfig:
     lr_scheduler_type: str = "linear"  # HF Trainer default: linear decay to 0
     is_early_stopping: bool = False  # stop after 1 epoch (SF rounds)
     resume_from_checkpoint: Optional[str] = None
-    report_to: str = "tensorboard"
+    report_to: str = "tensorboard"  # comma list: tensorboard,wandb,none
+    run_name: str = ""  # wandb run name (HF --run_name)
     logging_dir: Optional[str] = None
     # ZeRO-offload capability parity (scripts/zero3_offload.json): keep Adam
     # moments in pinned host memory; XLA streams them per step
@@ -263,13 +279,27 @@ class GRPOTrainer:
         self._rng = np.random.default_rng(config.seed)
         self.timers = None  # set lazily (utils.profiling.PhaseTimers)
         self._tb = None
-        if config.report_to == "tensorboard":
+        # report_to accepts a comma list like HF ("tensorboard,wandb"); each
+        # sink is optional and a missing backend degrades with a notice
+        sinks = [s.strip() for s in (config.report_to or "none").split(",")]
+        _sink_objs = []
+        logdir = config.logging_dir or os.path.join(config.output_dir, "tb")
+        if "tensorboard" in sinks:
             try:
                 from ..utils.logging_sinks import TensorBoardSink
 
-                self._tb = TensorBoardSink(config.logging_dir or os.path.join(config.output_dir, "tb"))
+                _sink_objs.append(TensorBoardSink(logdir))
             except Exception as e:  # tensorboard optional
                 print(f"[trainer] tensorboard sink unavailable: {e}")
+        if "wandb" in sinks:
+            try:
+                from ..utils.logging_sinks import WandbSink
+
+                _sink_objs.append(WandbSink(logdir, run_name=config.run_name))
+            except Exception as e:
+                print(f"[trainer] wandb sink unavailable: {e}")
+        if _sink_objs:
+            self._tb = _MultiSink(_sink_objs)
         from ..utils.logging_sinks import DebugRewardLog
         from ..utils.profiling import PhaseTimers
 
@@ -443,28 +473,42 @@ class GRPOTrainer:
         # live weights once per optimizer step (LoRA merge / re-quantization
         # are full passes over the tree — not per example). LoRA + quantized
         # rollouts ride the fused merge+quantize program (see __init__).
-        if self.lora is not None and self._merge_quant_jit is not None:
-            self.engine.set_params(
-                self._merge_quant_jit(self.params, self.lora), prequantized=True
-            )
-        else:
-            self.engine.set_params(self._policy_params())
+        with self.timers.phase("weight_sync"):
+            if self.lora is not None and self._merge_quant_jit is not None:
+                # drop the engine's previous int8 tree BEFORE dispatching the
+                # fused merge+quantize: set_params's early-drop only helps the
+                # non-prequantized path — here the jit runs in the argument
+                # expression, and base bf16 + old int8 + new int8 (~15.3 GB at
+                # 3B) OOMs a 16 GB chip (measured)
+                self.engine.params = None
+                self.engine.set_params(
+                    self._merge_quant_jit(self.params, self.lora), prequantized=True
+                )
+            else:
+                self.engine.set_params(self._policy_params())
 
         # pack ALL P examples into one request batch: the engine prefills each
         # unique prompt once and decodes the P·G rows together (the reference's
         # DP ranks roll out concurrently; a per-example loop would run P
         # sequential prefill+decode programs instead)
         requests = []
-        for example in examples:
-            frames, sample_fps = self._load_frames(example)
-            conv = make_conversation_video(example, c.prompt_type, c.total_pixels, c.min_pixels)
-            prompt_text = self.processor.apply_chat_template(conv, add_generation_prompt=True)
-            proc = self.processor(text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps])
-            prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
-            grid = tuple(int(x) for x in proc.video_grid_thw[0])
-            requests.append(
-                Request(prompt_ids, proc.pixel_values_videos, grid, proc.second_per_grid_ts[0])
-            )
+        with self.timers.phase("host_preproc"):
+            for example in examples:
+                frames, sample_fps = self._load_frames(example)
+                conv = make_conversation_video(
+                    example, c.prompt_type, c.total_pixels, c.min_pixels
+                )
+                prompt_text = self.processor.apply_chat_template(
+                    conv, add_generation_prompt=True
+                )
+                proc = self.processor(
+                    text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps]
+                )
+                prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
+                grid = tuple(int(x) for x in proc.video_grid_thw[0])
+                requests.append(
+                    Request(prompt_ids, proc.pixel_values_videos, grid, proc.second_per_grid_ts[0])
+                )
 
         sp = SamplingParams(
             temperature=c.temperature,

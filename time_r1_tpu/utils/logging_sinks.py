@@ -30,6 +30,47 @@ class TensorBoardSink:
         self.writer.close()
 
 
+class WandbSink:
+    """--report_to wandb (reference recipes set WANDB_* env and HF Trainer
+    reports there, scripts/posttrain/train_rl.sh:3). Uses the wandb client
+    when importable; otherwise degrades to an offline jsonl run file
+    (wandb/offline-run.jsonl under the log dir) with the same per-step
+    payloads — nothing is silently dropped on hosts without the package."""
+
+    def __init__(self, log_dir: str, run_name: str = ""):
+        self._run = None
+        self._fh = None
+        try:
+            import wandb  # not in the baked image; real sink when present
+
+            self._run = wandb.init(
+                project=os.getenv("WANDB_PROJECT", "time-r1-tpu"),
+                name=run_name or None,
+                dir=log_dir,
+                resume="allow",
+            )
+        except ImportError:
+            path = os.path.join(log_dir, "wandb")
+            os.makedirs(path, exist_ok=True)
+            self._fh = open(os.path.join(path, "offline-run.jsonl"), "a", encoding="utf-8")
+
+    def log(self, metrics: Dict[str, float], step: int):
+        payload = {k: v for k, v in metrics.items() if isinstance(v, (int, float))}
+        if self._run is not None:
+            self._run.log(payload, step=step)
+        else:
+            import json
+
+            self._fh.write(json.dumps({"step": step, **payload}) + "\n")
+            self._fh.flush()
+
+    def close(self):
+        if self._run is not None:
+            self._run.finish()
+        if self._fh is not None:
+            self._fh.close()
+
+
 class DebugRewardLog:
     """Active when DEBUG_MODE=true and LOG_PATH are set (reference parity)."""
 
