@@ -402,16 +402,26 @@ def section_train3b():
     }
     trainer.step(dict(example))  # compile (rollout + loss fwd/bwd + update)
     trainer.timers.reset()
+    # steady-state PIPELINED step, exactly as trainer.train() runs it: batch
+    # k+1's host preproc (video decode+resize+tokenize) overlaps step k's
+    # device work on a prefetch thread
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
     best = float("inf")
     toks = 0
     n_meas = 3
+    fut = pool.submit(trainer.prepare_requests, [dict(example)])
     for _ in range(n_meas):
         t0 = time.perf_counter()
-        trainer.step(dict(example))
+        reqs = fut.result()
+        fut = pool.submit(trainer.prepare_requests, [dict(example)])
+        trainer.step_batch([dict(example)], requests=reqs)
         jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
         dt = time.perf_counter() - t0
         if dt < best:
             best, toks = dt, gen_tokens["n"]
+    pool.shutdown(wait=False, cancel_futures=True)
     tps = toks / best
     phases = "  ".join(
         f"{k}={v['mean_ms']:.0f}ms" for k, v in sorted(trainer.timers.summary().items())

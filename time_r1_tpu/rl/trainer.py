@@ -273,6 +273,15 @@ class GRPOTrainer:
             # CP shards the SEQUENCE; the loss runs on full concatenated rows
             config.shared_prefix_loss = False
             self._cp = (mesh, DATA_AXIS, config.context_parallel_layout)
+        # ref logps as ONE compiled program (closure over cfg/hp/cp — all
+        # fixed for the trainer's lifetime): the ref forward is no-grad, so
+        # nothing else jits it — unjitted, every op of the 36-layer decoder
+        # dispatches eagerly, measured 3.2 s vs ~0.3 s compiled at the 3B
+        # recipe shape (the single biggest train-step cost found in round 4)
+        _cp_fixed = self._cp
+        self._ref_logps_jit = jax.jit(
+            lambda p, batch: compute_ref_logps(p, self.cfg, self.hp, batch, cp=_cp_fixed)
+        )
         self._setup_optimizer(config.learning_rate)
         self._metrics: dict[str, list] = {}
         self.global_step = 0
@@ -463,11 +472,44 @@ class GRPOTrainer:
         the reference's per-rank shape)."""
         return self.step_batch([example])
 
-    def step_batch(self, examples: Sequence[dict]) -> dict:
+    def prepare_requests(self, examples: Sequence[dict]) -> list:
+        """Host preprocessing for a batch of examples: video decode + budgeted
+        resize + chat template + tokenize + patchify → engine Requests.
+
+        Pure host work with no trainer state writes — safe to run on a
+        prefetch thread while the device computes the PREVIOUS step (the
+        reference overlaps the same work via DataLoader workers,
+        timer1_trainer.py's dataloader_num_workers). train() pipelines it
+        one batch ahead; callers driving step_batch directly can do the same
+        and pass the result as `requests`."""
+        c = self.c
+        requests = []
+        for example in examples:
+            frames, sample_fps = self._load_frames(example)
+            conv = make_conversation_video(
+                example, c.prompt_type, c.total_pixels, c.min_pixels
+            )
+            prompt_text = self.processor.apply_chat_template(
+                conv, add_generation_prompt=True
+            )
+            proc = self.processor(
+                text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps]
+            )
+            prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
+            grid = tuple(int(x) for x in proc.video_grid_thw[0])
+            requests.append(
+                Request(prompt_ids, proc.pixel_values_videos, grid, proc.second_per_grid_ts[0])
+            )
+        return requests
+
+    def step_batch(self, examples: Sequence[dict], requests: Optional[list] = None) -> dict:
         """One optimizer micro-step on P examples (example-level DP: batch =
         P×G rows, advantages normalized within each example's G-group — the
         reference's torchrun-N-ranks effective batch, scaled by the mesh
-        `data` axis instead of processes)."""
+        `data` axis instead of processes).
+
+        requests: pre-built engine Requests for `examples` (prepare_requests
+        output, usually from a prefetch thread); None → build them here."""
         c = self.c
         G = c.num_generations
         # live weights once per optimizer step (LoRA merge / re-quantization
@@ -491,24 +533,9 @@ class GRPOTrainer:
         # unique prompt once and decodes the P·G rows together (the reference's
         # DP ranks roll out concurrently; a per-example loop would run P
         # sequential prefill+decode programs instead)
-        requests = []
-        with self.timers.phase("host_preproc"):
-            for example in examples:
-                frames, sample_fps = self._load_frames(example)
-                conv = make_conversation_video(
-                    example, c.prompt_type, c.total_pixels, c.min_pixels
-                )
-                prompt_text = self.processor.apply_chat_template(
-                    conv, add_generation_prompt=True
-                )
-                proc = self.processor(
-                    text=[prompt_text], videos=[np.asarray(frames)], fps=[sample_fps]
-                )
-                prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
-                grid = tuple(int(x) for x in proc.video_grid_thw[0])
-                requests.append(
-                    Request(prompt_ids, proc.pixel_values_videos, grid, proc.second_per_grid_ts[0])
-                )
+        if requests is None:
+            with self.timers.phase("host_preproc"):
+                requests = self.prepare_requests(examples)
 
         sp = SamplingParams(
             temperature=c.temperature,
@@ -591,9 +618,7 @@ class GRPOTrainer:
                 batch = precompute_frozen_vision(self.params, self.cfg, batch)
         if self.ref_params is not None:
             with self.timers.phase("ref_logps"):
-                ref_logps = compute_ref_logps(
-                    self.ref_params, self.cfg, self.hp, batch, cp=self._cp
-                )
+                ref_logps = self._ref_logps_jit(self.ref_params, batch)
             batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
 
         with self.timers.phase("train_step"):
@@ -925,11 +950,32 @@ class GRPOTrainer:
             data = [data[i % len(data)] for i in range(total)]
             shard = data[jax.process_index() :: pc]
         bs = max(int(c.per_device_train_batch_size), 1)
-        for epoch in range(n_epochs):
-            for i in range(0, len(shard), bs):
+        # one-batch-ahead host-preproc prefetch: video decode + resize +
+        # tokenize of batch k+1 runs on a worker thread while the device
+        # computes step k (rollout + loss + update) — the reference overlaps
+        # the same work with DataLoader workers. One worker suffices: preproc
+        # (~0.75 s/video) is well under a step's device time, and in-order
+        # submission keeps determinism.
+        from concurrent.futures import ThreadPoolExecutor
+
+        batches = [
+            (epoch, shard[i : i + bs])
+            for epoch in range(n_epochs)
+            for i in range(0, len(shard), bs)
+        ]
+        prefetch = ThreadPoolExecutor(max_workers=1)
+        try:
+            pending = (
+                prefetch.submit(self.prepare_requests, batches[0][1]) if batches else None
+            )
+            for bi, (epoch, examples) in enumerate(batches):
                 if max_steps is not None and self.global_step >= max_steps:
                     return
-                info = self.step_batch(shard[i : i + bs])
+                with self.timers.phase("host_preproc_wait"):
+                    requests = pending.result()
+                if bi + 1 < len(batches):
+                    pending = prefetch.submit(self.prepare_requests, batches[bi + 1][1])
+                info = self.step_batch(examples, requests=requests)
                 if self.global_step % c.logging_steps == 0:
                     logs = {"epoch": epoch, "step": self.global_step, **self.pop_metrics()}
                     if self._tb is not None:
@@ -948,9 +994,15 @@ class GRPOTrainer:
                     and opt_step % c.save_steps == 0
                 ):
                     self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{opt_step}"))
-            if c.save_strategy == "epoch":
-                self.save_checkpoint(os.path.join(c.output_dir, f"checkpoint-{self.global_step}"))
-            self.save_checkpoint(os.path.join(c.output_dir, f"epoch-{epoch + 1}"))
+                # epoch boundary: last batch of this epoch index
+                if bi + 1 == len(batches) or batches[bi + 1][0] != epoch:
+                    if c.save_strategy == "epoch":
+                        self.save_checkpoint(
+                            os.path.join(c.output_dir, f"checkpoint-{self.global_step}")
+                        )
+                    self.save_checkpoint(os.path.join(c.output_dir, f"epoch-{epoch + 1}"))
+        finally:
+            prefetch.shutdown(wait=False, cancel_futures=True)
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str):
