@@ -29,7 +29,15 @@ def _pack_vision(cfg: Qwen25VLConfig, grids: list, patch_list: list, dtype) -> V
     """Vision inputs for a batch of UNIQUE videos (group-major feature
     order), patch rows bucketed to a merge-unit multiple — the ONE place the
     train-batch padding rule lives (both batch builders call it)."""
-    patches = np.concatenate(patch_list, axis=0)
+    if len(patch_list) == 1:
+        # keep already-staged device arrays on device (the trainer's prefetch
+        # thread device_puts each video's patches ahead of the step; an
+        # np.concatenate here would pull them back through the host)
+        patches = patch_list[0]
+    elif any(isinstance(p, jnp.ndarray) for p in patch_list):
+        patches = jnp.concatenate([jnp.asarray(p) for p in patch_list], axis=0)
+    else:
+        patches = np.concatenate(patch_list, axis=0)
     unit = cfg.vision.merge_unit
     pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
     prep = prepare_vision_inputs(grids, cfg.vision, pad_patches_to=pad_patches)

@@ -249,7 +249,12 @@ class GRPOTrainer:
                 ref_params = params
         self.ref_params = ref_params if config.beta != 0.0 else None
         self.engine = Engine(
-            params, cfg, dtype=dtype, quantization=config.rollout_quantization or None
+            params, cfg, dtype=dtype, quantization=config.rollout_quantization or None,
+            # int8 KV rides with int8 weights: rollout sampling tolerates the
+            # quantized cache (logps for the loss are recomputed in bf16), and
+            # decode at the recipe batch is KV+weight-stream-bound — bf16 KV
+            # here was leaving ~1.5 ms/step on the table vs the bench config
+            kv_cache_quant=bool(config.rollout_quantization),
         )
 
         self.hp = GRPOHyperParams(
@@ -497,8 +502,18 @@ class GRPOTrainer:
             )
             prompt_ids = proc.input_ids[0][proc.attention_mask[0] == 1].tolist()
             grid = tuple(int(x) for x in proc.video_grid_thw[0])
+            patches = proc.pixel_values_videos
+            if self.mesh is None and jax.process_count() == 1:
+                # stage patches on device NOW (async, and on the prefetch
+                # thread when train() drives this): the ~30 MB fp32 host
+                # buffer becomes a 15 MB bf16 device array before the step
+                # starts, instead of crossing host→device inside the timed
+                # rollout AND again in the loss batch. Mesh/multi-process
+                # paths keep numpy — their batch assembly shards host data
+                # across processes (_shard_split_batch/_global_vision).
+                patches = jax.device_put(jnp.asarray(patches, self.dtype))
             requests.append(
-                Request(prompt_ids, proc.pixel_values_videos, grid, proc.second_per_grid_ts[0])
+                Request(prompt_ids, patches, grid, proc.second_per_grid_ts[0])
             )
         return requests
 
