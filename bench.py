@@ -421,15 +421,24 @@ def section_train3b():
         dt = time.perf_counter() - t0
         if dt < best:
             best, toks = dt, gen_tokens["n"]
+    fut.result()  # an in-flight prepare_requests can't be cancelled — join it
+    # so it doesn't steal the single host core from the sync step below
     pool.shutdown(wait=False, cancel_futures=True)
     tps = toks / best
+    # one extra step with SYNC timers: drain the device queue at every phase
+    # boundary so each number is that phase's true device+host cost (the
+    # async production step above reads dispatch times — train_step "1 ms")
+    from time_r1_tpu.utils.profiling import PhaseTimers
+
+    trainer.timers = PhaseTimers(sync=True)
+    trainer.step(dict(example))
     phases = "  ".join(
         f"{k}={v['mean_ms']:.0f}ms" for k, v in sorted(trainer.timers.summary().items())
     )
     print(
         f"[bench:train3b] e2e step = {best*1e3:.0f} ms for {toks} completion tokens "
-        f"(decode+preproc+rollout+rewards+fwd/bwd+adamw); phase means over "
-        f"{n_meas} steps: {phases}",
+        f"(decode+preproc+rollout+rewards+fwd/bwd+adamw); sync-timed phase "
+        f"breakdown (1 step, overlap disabled): {phases}",
         file=sys.stderr,
     )
     print(

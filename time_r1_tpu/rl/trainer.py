@@ -562,6 +562,63 @@ class GRPOTrainer:
         with self.timers.phase("rollout"):
             all_completions = self.engine.generate(requests, sp)  # row-major P·G
 
+        with self.timers.phase("rewards_host"):
+            groups, rewards_all = self._score_rollouts(examples, requests, all_completions)
+
+        with self.timers.phase("batch_build"):
+            # assemble batch (host padding + device_put)
+            if c.shared_prefix_loss:
+                batch = build_grpo_split_batch(self.cfg, groups, dtype=self.dtype)
+            else:
+                pad_multiple = None
+                if self._cp is not None:
+                    # zig-zag half-chunks (or contiguous chunks) must be
+                    # flash-block aligned across the sequence shards
+                    n = c.context_parallel_size
+                    pad_multiple = (2 if c.context_parallel_layout == "zigzag" else 1) * n * 128
+                batch = build_grpo_batch_groups(
+                    self.cfg, groups, dtype=self.dtype, pad_multiple=pad_multiple
+                )
+            if self.mesh is not None and self._cp is None:
+                batch = self._shard_batch(
+                    batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
+                )
+        if self.hp.fix_vit and batch.vision is not None:
+            # frozen ViT blocks run as their own program (compile + reuse:
+            # one pass serves the policy AND ref forwards — see
+            # grpo.precompute_frozen_vision)
+            with self.timers.phase("vision_frozen"):
+                batch = precompute_frozen_vision(self.params, self.cfg, batch)
+        if self.ref_params is not None:
+            with self.timers.phase("ref_logps"):
+                ref_logps = self._ref_logps_jit(self.ref_params, batch)
+            batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
+
+        with self.timers.phase("train_step"):
+            if self.lora is not None:
+                self.lora, self.opt_state, loss, metrics = self._train_step(
+                    self.params, self.lora, self.opt_state, batch
+                )
+            else:
+                self.params, self.opt_state, loss, metrics = self._train_step(
+                    self.params, self.opt_state, batch
+                )
+            if self._opt_sharding is not None:
+                # offload: the moments return to pinned host OUTSIDE jit
+                # (async device→host copy; see make_train_step's offload notes)
+                self.opt_state = jax.device_put(self.opt_state, self._opt_sharding)
+        for k, v in metrics.items():
+            self._log_metric(k, float(v))
+        self.global_step += 1
+        return {"loss": float(loss), "reward": float(rewards_all.mean())}
+
+    def _score_rollouts(self, examples, requests, all_completions):
+        """Host-side scoring of a step's P·G rollouts: decode texts, run the
+        reward/metric functions, compute per-group advantages, and build the
+        loss-batch group dicts. Pure host work (regex + numpy) — runs while
+        the device sits idle between rollout and the loss forward, which is
+        why it gets its own phase timer."""
+        G = self.c.num_generations
         groups, rewards_all = [], []
         for ei, (example, req) in enumerate(zip(examples, requests)):
             completions = all_completions[ei * G : (ei + 1) * G]
@@ -607,52 +664,7 @@ class GRPOTrainer:
             g["advantages"] = advantages[i * G : (i + 1) * G]
         self._log_metric("reward", rewards_all.mean())
         self._log_metric("reward_std", rewards_all.reshape(-1, G).std(axis=1, ddof=1).mean())
-
-        # assemble batch + ref logps + update
-        if c.shared_prefix_loss:
-            batch = build_grpo_split_batch(self.cfg, groups, dtype=self.dtype)
-        else:
-            pad_multiple = None
-            if self._cp is not None:
-                # zig-zag half-chunks (or contiguous chunks) must be
-                # flash-block aligned across the sequence shards
-                n = c.context_parallel_size
-                pad_multiple = (2 if c.context_parallel_layout == "zigzag" else 1) * n * 128
-            batch = build_grpo_batch_groups(
-                self.cfg, groups, dtype=self.dtype, pad_multiple=pad_multiple
-            )
-        if self.mesh is not None and self._cp is None:
-            batch = self._shard_batch(
-                batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
-            )
-        if self.hp.fix_vit and batch.vision is not None:
-            # frozen ViT blocks run as their own program (compile + reuse:
-            # one pass serves the policy AND ref forwards — see
-            # grpo.precompute_frozen_vision)
-            with self.timers.phase("vision_frozen"):
-                batch = precompute_frozen_vision(self.params, self.cfg, batch)
-        if self.ref_params is not None:
-            with self.timers.phase("ref_logps"):
-                ref_logps = self._ref_logps_jit(self.ref_params, batch)
-            batch = batch._replace(ref_logps=jax.lax.stop_gradient(ref_logps))
-
-        with self.timers.phase("train_step"):
-            if self.lora is not None:
-                self.lora, self.opt_state, loss, metrics = self._train_step(
-                    self.params, self.lora, self.opt_state, batch
-                )
-            else:
-                self.params, self.opt_state, loss, metrics = self._train_step(
-                    self.params, self.opt_state, batch
-                )
-            if self._opt_sharding is not None:
-                # offload: the moments return to pinned host OUTSIDE jit
-                # (async device→host copy; see make_train_step's offload notes)
-                self.opt_state = jax.device_put(self.opt_state, self._opt_sharding)
-        for k, v in metrics.items():
-            self._log_metric(k, float(v))
-        self.global_step += 1
-        return {"loss": float(loss), "reward": float(rewards_all.mean())}
+        return groups, rewards_all
 
     def _shard_batch(self, batch, vis_grids=None):
         """Shard the P·G rollout rows over the data axis.
