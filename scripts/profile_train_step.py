@@ -75,7 +75,9 @@ def main():
             del groups[0][key]
     hp = GRPOHyperParams(
         num_generations=G, beta=0.0, use_grpo=False, fix_vit=True,
-        gradient_checkpointing=True,
+        # TIMER1_PROFILE_REMAT=0 measures the no-remat bwd (stores all layer
+        # activations instead of recomputing them — candidate when HBM allows)
+        gradient_checkpointing=os.environ.get("TIMER1_PROFILE_REMAT", "1") == "1",
     )
 
     def sync(x):
