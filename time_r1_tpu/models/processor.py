@@ -66,6 +66,40 @@ def render_chat_template(messages: Sequence[dict], add_generation_prompt: bool =
     return "".join(out)
 
 
+def _patchify_native(
+    patches: np.ndarray, patch_size: int, temporal_patch_size: int, merge_size: int,
+    do_rescale: bool, do_normalize: bool,
+):
+    """Fused C++ normalize+patchify; returns None when the native library is
+    unavailable (numpy fallback applies)."""
+    import ctypes
+
+    try:
+        from ..video.resize import _native_lib
+
+        lib = _native_lib()
+    except Exception:
+        return None
+    T, C, H, W = patches.shape
+    if C > 8:
+        return None
+    patches = np.ascontiguousarray(patches, np.float32)
+    grid_t = (T + temporal_patch_size - 1) // temporal_patch_size
+    grid_h, grid_w = H // patch_size, W // patch_size
+    cols = C * temporal_patch_size * patch_size * patch_size
+    flat = np.empty((grid_t * grid_h * grid_w, cols), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.t1_patchify(
+        patches.ctypes.data_as(f32p), T, C, H, W,
+        flat.ctypes.data_as(f32p), temporal_patch_size, patch_size, merge_size,
+        OPENAI_CLIP_MEAN.ctypes.data_as(f32p), OPENAI_CLIP_STD.ctypes.data_as(f32p),
+        ctypes.c_float(1.0 / 255.0 if do_rescale else 1.0), ctypes.c_int(int(do_normalize)),
+    )
+    if rc != 0:
+        return None
+    return flat, (grid_t, grid_h, grid_w)
+
+
 def patchify_video(
     frames: np.ndarray,  # (T, C, H, W) float, 0..255 unless do_rescale=False
     patch_size: int = 14,
@@ -78,10 +112,20 @@ def patchify_video(
 
     Exact reshape/transpose order of Qwen2VLImageProcessor._preprocess; frames
     must already be resized to multiples of patch_size·merge_size (28) — the
-    video pipeline guarantees that via smart_resize."""
+    video pipeline guarantees that via smart_resize.
+
+    Runs the fused native pass (video/native/resize.cpp::t1_patchify — one
+    read/write over the array instead of numpy's rescale + normalize +
+    transpose-copy passes) when the toolchain is available; the numpy path
+    below is the semantic definition and the fallback."""
     patches = np.asarray(frames, np.float32)
     T, C, H, W = patches.shape
     assert H % (patch_size * merge_size) == 0 and W % (patch_size * merge_size) == 0, (H, W)
+    native = _patchify_native(
+        patches, patch_size, temporal_patch_size, merge_size, do_rescale, do_normalize
+    )
+    if native is not None:
+        return native
     if do_rescale:
         patches = patches * (1.0 / 255.0)
     if do_normalize:

@@ -103,18 +103,31 @@ def _native_lib():
     src = os.path.join(native, "resize.cpp")
     so = os.path.join(native, "libtimer1_resize.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", so],
-            check=True,
-            capture_output=True,
-            text=True,
-        )
+        base = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", so]
+        # -march=native widens the banded loops to the host's vector ISA
+        # (build-on-first-use runs on the target CPU); -ffp-contract=off
+        # forbids FMA contraction so (v*rescale - mean)/std rounds exactly
+        # like the numpy/torch two-step reference (GCC contracts across
+        # statements by default at -O, which flips low-ulp bits). Fall back
+        # to baseline codegen if the flags are rejected.
+        try:
+            subprocess.run(
+                base[:1] + ["-march=native", "-ffp-contract=off"] + base[1:],
+                check=True, capture_output=True, text=True,
+            )
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True, text=True)
     lib = ctypes.CDLL(so)
     i64, f32p = ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
     u8p, i32p = ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)
     lib.t1_resize_frames.restype = ctypes.c_int
     lib.t1_resize_frames.argtypes = [
         u8p, i64, i64, i64, i64, u8p, i64, i64, i32p, f32p, i64, i32p, f32p, i64,
+    ]
+    lib.t1_patchify.restype = ctypes.c_int
+    lib.t1_patchify.argtypes = [
+        f32p, i64, i64, i64, i64, f32p, i64, i64, i64, f32p, f32p,
+        ctypes.c_float, ctypes.c_int,
     ]
     _RESIZE_LIB = lib
     return lib
