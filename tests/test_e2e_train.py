@@ -86,3 +86,84 @@ def test_grpo_trainer_step_real_video(tmp_path):
         np.asarray(restored["text"]["norm"]["scale"]),
         np.asarray(trainer.params["text"]["norm"]["scale"]),
     )
+
+
+def test_vision_hidden_capture_matches_precompute(tmp_path):
+    """fix_vit vision reuse: the rollout prefill's captured pre-merger hidden
+    states must equal grpo.precompute_frozen_vision's output for the same
+    videos (same frozen blocks, same padded layout), and a trainer step must
+    actually USE the capture (the precompute fallback never fires)."""
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.rl import GRPOTrainer, TrainConfig
+    from time_r1_tpu.rl import grpo as grpo_mod
+    from time_r1_tpu.rl.rollout import _pack_vision
+    from time_r1_tpu.sampler.params import SamplingParams
+    from time_r1_tpu.utils.rewards import REWARD_FUNCS_REGISTRY
+    from time_r1_tpu.video.pipeline import video_loader
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
+    )
+    config = TrainConfig(
+        output_dir=str(tmp_path),
+        num_generations=2,
+        max_completion_length=4,
+        temperature=1.0,
+        beta=0.0,
+        total_pixels=8 * 28 * 28,
+        min_pixels=4 * 28 * 28,
+        fix_vit=True,
+    )
+    trainer = GRPOTrainer(
+        params,
+        CFG,
+        processor,
+        reward_funcs=[REWARD_FUNCS_REGISTRY["format"]],
+        config=config,
+        video_loader=video_loader,
+        dtype=jnp.float32,
+    )
+    assert trainer.engine.capture_vision_hidden  # fix_vit + single chip → on
+    example = {
+        "task_type": "tg",
+        "problem": "person sitting down in a chair",
+        "solution": (1.0, 7.5),
+        "video_path": VIDEO,
+        "durations": 35.04,
+        "video_start": 0.0,
+        "video_end": 3.0,
+    }
+    reqs = trainer.prepare_requests([example])
+    sp = SamplingParams(temperature=1.0, max_new_tokens=4, num_return_sequences=2, seed=0)
+    trainer.engine.generate(reqs, sp)
+    cap = trainer.engine.captured_vision
+    assert cap is not None
+
+    # oracle: the frozen-precompute path on the identical batch layout
+    r = reqs[0]
+    vis = _pack_vision(CFG, [r.grid_thw], [r.patches], jnp.float32)
+    want = grpo_mod._frozen_vision_jit(
+        trainer.params["visual"], CFG.vision, vis.patches, vis.perm, vis.pos_hw,
+        vis.key_valid, vis.full_gather, vis.full_inverse,
+        use_window_kernel=False,
+    )
+    sig, got = cap
+    assert sig == ((tuple(int(x) for x in r.grid_thw),), int(vis.perm.shape[0]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    # a full step must ride the capture: make the fallback loud
+    import time_r1_tpu.rl.trainer as trainer_mod
+
+    orig = trainer_mod.precompute_frozen_vision
+
+    def boom(*a, **k):
+        raise AssertionError("precompute_frozen_vision fallback fired under capture")
+
+    trainer_mod.precompute_frozen_vision = boom
+    try:
+        info = trainer.step(dict(example))
+    finally:
+        trainer_mod.precompute_frozen_vision = orig
+    assert np.isfinite(info["loss"])

@@ -485,3 +485,16 @@ def vision_merge_forward(
 
     # gather the real units back into original order
     return jnp.take(h, prep_reverse, axis=0)
+
+
+# Canonical jitted entry points for the split tower — ONE wrapper each so
+# every caller (sampler prefill, rl.grpo.precompute_frozen_vision) shares the
+# same compiled-program cache entry. Under fix_vit the blocks output is the
+# cross-phase currency: the rollout prefill captures it and the GRPO loss
+# reuses it, so the 32-block tower runs ONCE per step per unique video
+# (the reference reruns the full ViT in generate AND in each logps forward,
+# timer1_trainer.py:568-607).
+vision_blocks_forward_jit = jax.jit(
+    vision_blocks_forward, static_argnames=("cfg", "use_window_kernel", "segment_scan")
+)
+vision_merge_forward_jit = jax.jit(vision_merge_forward, static_argnames=("cfg",))

@@ -32,7 +32,7 @@ from ..models.qwen25vl import Qwen25VLConfig, VisionInputs
 from ..models.qwen25vl.language import KVCache, decoder_forward, shared_decode_forward
 from ..models.qwen25vl.model import merge_vision_embeddings
 from ..models.qwen25vl.vision import (
-    vision_blocks_forward,
+    vision_blocks_forward_jit,
     vision_forward,
     vision_merge_forward,
 )
@@ -149,9 +149,9 @@ def precompute_frozen_vision(params, cfg: Qwen25VLConfig, batch):
     return batch._replace(vision_hidden=x)
 
 
-_frozen_vision_jit = jax.jit(
-    vision_blocks_forward, static_argnames=("cfg", "use_window_kernel", "segment_scan")
-)
+# the canonical blocks jit — shared with the sampler's capture path so both
+# resolve to one compiled program (see vision.py)
+_frozen_vision_jit = vision_blocks_forward_jit
 
 
 def _hidden_states(

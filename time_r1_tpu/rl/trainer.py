@@ -278,6 +278,14 @@ class GRPOTrainer:
             # CP shards the SEQUENCE; the loss runs on full concatenated rows
             config.shared_prefix_loss = False
             self._cp = (mesh, DATA_AXIS, config.context_parallel_layout)
+        # fix_vit single-chip path: the rollout prefill captures its pre-merger
+        # ViT hidden states and the loss/ref forwards reuse them — one frozen
+        # ViT-blocks pass per step instead of two (engine + precompute). Mesh
+        # and multi-process paths keep the precompute (their loss batch is
+        # sharded differently from the engine's replicated rollout inputs).
+        self.engine.capture_vision_hidden = (
+            config.fix_vit and mesh is None and jax.process_count() == 1
+        )
         # ref logps as ONE compiled program (closure over cfg/hp/cp — all
         # fixed for the trainer's lifetime): the ref forward is no-grad, so
         # nothing else jits it — unjitted, every op of the 36-layer decoder
@@ -584,11 +592,26 @@ class GRPOTrainer:
                     batch, [g["grid_thw"] for g in groups if g.get("grid_thw") is not None]
                 )
         if self.hp.fix_vit and batch.vision is not None:
-            # frozen ViT blocks run as their own program (compile + reuse:
-            # one pass serves the policy AND ref forwards — see
-            # grpo.precompute_frozen_vision)
+            # frozen ViT blocks: reuse the rollout prefill's captured hidden
+            # states when they cover exactly this batch's videos (the engine
+            # computed them this step, same padded layout — see
+            # Engine.capture_vision_hidden); otherwise run the blocks as
+            # their own program (one pass serves the policy AND ref forwards
+            # — see grpo.precompute_frozen_vision)
             with self.timers.phase("vision_frozen"):
-                batch = precompute_frozen_vision(self.params, self.cfg, batch)
+                cap = self.engine.captured_vision
+                sig = (
+                    tuple(
+                        tuple(int(x) for x in g["grid_thw"])
+                        for g in groups
+                        if g.get("grid_thw") is not None
+                    ),
+                    int(batch.vision.perm.shape[0]),
+                )
+                if cap is not None and cap[0] == sig:
+                    batch = batch._replace(vision_hidden=cap[1])
+                else:
+                    batch = precompute_frozen_vision(self.params, self.cfg, batch)
         if self.ref_params is not None:
             with self.timers.phase("ref_logps"):
                 ref_logps = self._ref_logps_jit(self.ref_params, batch)

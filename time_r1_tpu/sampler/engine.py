@@ -24,6 +24,7 @@ sampler/text_engine.py (vllm_infer.py:130-169 parity).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Sequence
 
@@ -313,6 +314,15 @@ class Engine:
         self.quantization = quantization
         self.kv_cache_quant = kv_cache_quant
         self.prefill_chunk_tokens = prefill_chunk_tokens
+        # fix_vit cross-phase vision reuse: with capture on, the prefill runs
+        # the tower as blocks→merger (two programs) and stashes the pre-merger
+        # hidden states as (signature, hidden); the GRPO trainer reuses them
+        # for the loss/ref forwards instead of re-running the frozen blocks
+        # (valid because quantize_params passes `visual` through untouched and
+        # fix_vit drops visual LoRA adapters + zero_frozen pins the blocks —
+        # the rollout and loss towers are the same function of the same bytes)
+        self.capture_vision_hidden = False
+        self.captured_vision: Optional[tuple] = None
 
     def set_params(self, params: dict, *, prequantized: bool = False) -> None:
         """Swap in live policy weights (GRPO rollouts), re-quantizing when the
@@ -367,6 +377,11 @@ class Engine:
             pad_patches = ((_bucket(patches.shape[0], 256) + unit - 1) // unit) * unit
             prep = prepare_vision_inputs(grids, self.cfg.vision, pad_patches_to=pad_patches)
             vis = VisionInputs.build(prep, jnp.asarray(patches, self.dtype))
+            # signature for the fix_vit vision-hidden capture: the loss batch
+            # builder (rl/rollout._pack_vision) derives the identical padded
+            # layout from the same (grids, patch-row) inputs, so matching
+            # grids + padded rows ⇒ identical VisionInputs ⇒ reusable hidden
+            self._last_vis_sig = (tuple(grids), int(vis.perm.shape[0]))
 
         pos_ids, _ = get_rope_index(
             self.cfg,
@@ -386,8 +401,31 @@ class Engine:
         B = ids.shape[0]
         cache = KVCache.zeros(self.cfg.text, B, max_len, dtype=self.dtype)
         feats = None
+        if self.capture_vision_hidden:
+            self.captured_vision = None  # never serve a previous batch's videos
         if vis is not None:
-            feats = compute_vision_features(self.params, self.cfg, vis)
+            if self.capture_vision_hidden:
+                # split tower: blocks (the shared jit rl.grpo also uses) then
+                # merger — the pre-merger hidden is stashed for the trainer's
+                # loss forward (fix_vit: one ViT-blocks pass per step instead
+                # of rollout + loss each running their own)
+                from ..models.qwen25vl.vision import (
+                    vision_blocks_forward_jit,
+                    vision_merge_forward_jit,
+                )
+
+                hidden = vision_blocks_forward_jit(
+                    self.params["visual"], self.cfg.vision, vis.patches, vis.perm,
+                    vis.pos_hw, vis.key_valid, vis.full_gather, vis.full_inverse,
+                    use_window_kernel=jax.default_backend() == "tpu"
+                    and os.environ.get("TIMER1_NO_VISION_KERNEL", "0") != "1",
+                )
+                feats = vision_merge_forward_jit(
+                    self.params["visual"], self.cfg.vision, hidden, vis.reverse
+                )
+                self.captured_vision = (self._last_vis_sig, hidden)
+            else:
+                feats = compute_vision_features(self.params, self.cfg, vis)
 
         chunk = self.prefill_chunk_tokens
         is_vis_np = np.isin(ids, [self.cfg.video_token_id, self.cfg.image_token_id])
