@@ -43,8 +43,15 @@ from .prompts import ANSWER_PROMPT, DEFAULT_MCQ_PROMPT, DEFAULT_SYS_PROMPT, DEFA
 
 
 class VideoCache:
-    """In-process LRU replacement for LimitedSizeSharedDict (single-process
-    pipeline; the multi-worker Manager dict is unnecessary here)."""
+    """In-process FIFO-eviction cache replacing LimitedSizeSharedDict
+    (src/vllm_inference/data/__init__.py:99-139; single-process pipeline, so
+    the multi-worker Manager dict is unnecessary here).
+
+    Eviction is deliberately FIFO, not LRU — `get` does not refresh recency
+    and `put` ignores existing keys — because that is exactly what the
+    reference's LimitedSizeSharedDict does (it pops the oldest *inserted*
+    key). Eval rows arrive grouped by video, so insertion order ≈ last-use
+    order and LRU would buy nothing."""
 
     def __init__(self, max_size: int = 8):
         self.max_size = max_size
@@ -239,6 +246,7 @@ class EvalDataset:
         inflight: "OrderedDict[int, object]" = OrderedDict()  # row idx → future
         by_key: dict = {}  # video key → future (alive while any row needs it)
         key_of: dict = {}
+        refs: dict = {}  # video key → number of in-window rows still needing it
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
             it = enumerate(self.data)
@@ -258,6 +266,7 @@ class EvalDataset:
                     by_key[key] = fut
                 inflight[i] = fut
                 key_of[i] = key
+                refs[key] = refs.get(key, 0) + 1
 
             while len(inflight) < window and not done:
                 submit_next()
@@ -266,10 +275,13 @@ class EvalDataset:
                 del inflight[i]
                 itm = self.data[i]
                 key = key_of.pop(i)
+                refs[key] -= 1
+                if refs[key] == 0:
+                    del refs[key]
                 try:
                     video = fut.result()
-                    if key in by_key and key not in key_of.values():
-                        del by_key[key]
+                    if key not in refs:
+                        by_key.pop(key, None)
                     yield self.build_item(itm, video=video)
                 except Exception as e:
                     by_key.pop(key, None)
