@@ -73,11 +73,14 @@ def main():
         groups[0]["prompt_ids"] = list(rng.integers(2, 100000, len(prompt)))
         for key in ("patches", "grid_thw", "second_per_grid_t"):
             del groups[0][key]
+    # TIMER1_PROFILE_REMAT: "1"/full (save layer inputs only), "0" (no remat —
+    # fails remote compile on 16 GB at 3B, kept for the record), or a
+    # language.REMAT_POLICIES key ("dots", "dots_small") — selective residual
+    # saving, the round-5 middle ground between full remat and no-remat
+    remat_env = os.environ.get("TIMER1_PROFILE_REMAT", "1")
     hp = GRPOHyperParams(
         num_generations=G, beta=0.0, use_grpo=False, fix_vit=True,
-        # TIMER1_PROFILE_REMAT=0 measures the no-remat bwd (stores all layer
-        # activations instead of recomputing them — candidate when HBM allows)
-        gradient_checkpointing=os.environ.get("TIMER1_PROFILE_REMAT", "1") == "1",
+        gradient_checkpointing={"0": False, "1": True}.get(remat_env, remat_env),
     )
 
     def sync(x):

@@ -393,3 +393,37 @@ def test_inscan_lora_matches_full_merge(params, split):
             err_msg=jax.tree_util.keystr(p_i),
         )
         assert float(jnp.abs(a).max()) > 0, jax.tree_util.keystr(p_i)
+
+
+@pytest.mark.parametrize("policy", ["dots", "dots_small"])
+def test_remat_policy_matches_full(params, policy):
+    """Selective gradient checkpointing (language.REMAT_POLICIES): saving
+    projection outputs as backward residuals changes WHAT is recomputed, not
+    the math — loss and grads must match the save-layer-inputs-only 'full'
+    policy bit-for-bit up to float reassociation."""
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    groups = _mk_groups(True, G=3, P=2)
+    batch = build_grpo_split_batch(CFG, groups, dtype=jnp.float32)
+
+    def loss_with(remat):
+        hp = GRPOHyperParams(
+            num_generations=3, beta=0.0, use_grpo=False, fix_vit=True,
+            gradient_checkpointing=remat,
+        )
+        return jax.value_and_grad(
+            lambda p: grpo_loss(p, CFG, hp, batch)[0], has_aux=False
+        )(params)
+
+    l_full, g_full = loss_with("full")
+    l_pol, g_pol = loss_with(policy)
+    np.testing.assert_allclose(float(l_full), float(l_pol), rtol=1e-6, atol=1e-7)
+    for (p_a, a), (p_b, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_full)[0],
+        jax.tree_util.tree_flatten_with_path(g_pol)[0],
+    ):
+        assert p_a == p_b
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6,
+            err_msg=jax.tree_util.keystr(p_a),
+        )

@@ -104,6 +104,14 @@ def get_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--torch_dtype", type=str, default="bfloat16", help="accepted for recipe parity")
     p.add_argument("--gradient_checkpointing", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument(
+        "--remat_policy",
+        type=str,
+        default="full",
+        choices=["full", "dots", "dots_small"],
+        help="residual-save policy under --gradient_checkpointing (TPU extra): "
+        "'dots' saves projection outputs so the backward skips most recompute",
+    )
     # PEFT/LoRA (trl ModelConfig flag names the reference consumes via TrlParser)
     p.add_argument("--use_peft", type=lambda s: s.lower() == "true", default=False)
     p.add_argument("--lora_r", type=int, default=16)
@@ -215,6 +223,7 @@ def _run(args, trainer, mesh, dataset):
             use_grpo=args.use_grpo,
             fix_vit=args.fix_vit,
             gradient_checkpointing=args.gradient_checkpointing,
+            remat_policy=args.remat_policy,
             use_peft=args.use_peft,
             lora_r=args.lora_r,
             lora_alpha=args.lora_alpha,

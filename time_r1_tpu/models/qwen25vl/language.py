@@ -31,6 +31,32 @@ from ...ops.attention import NEG_INF, mha_cached, mha_cached_q8, mha_reference
 from ...ops.quant import attn_qkv_proj, mlp_proj, qmatmul, tied_head_logits
 from .config import TextConfig
 
+# Selective gradient checkpointing (VERDICT r4 #2): per-layer jax.checkpoint
+# with a residual-save policy over the checkpoint_name tags planted in
+# attn_qkv_proj / mlp_proj ("qkv_proj", "mlp_gu", "mlp_down") and the o-proj
+# ("attn_proj"). "full" saves only layer inputs (max recompute, min HBM — the
+# only mode that fit round 4); "dots" saves every projection output so the
+# backward recomputes just rope/norm/silu elementwise + the flash-attention
+# forward; "dots_small" drops the wide (B, S, 2·inter) gate/up residual —
+# ~3/4 of "dots"' residual bytes — and recomputes the two MLP up-projections.
+REMAT_POLICIES = {
+    "dots": ("qkv_proj", "attn_proj", "mlp_gu", "mlp_down"),
+    "dots_small": ("qkv_proj", "attn_proj", "mlp_down"),
+}
+
+
+def _layer_remat(layer, remat):
+    """remat: False → plain layer; True/'full' → jax.checkpoint;
+    a REMAT_POLICIES key → jax.checkpoint with save_only_these_names."""
+    if not remat:
+        return layer
+    if remat is True or remat == "full":
+        return jax.checkpoint(layer)
+    names = REMAT_POLICIES[remat]
+    return jax.checkpoint(
+        layer, policy=jax.checkpoint_policies.save_only_these_names(*names)
+    )
+
 
 class KVCache(NamedTuple):
     k: jnp.ndarray  # (L, B, max_len, Hkv, hd) — bf16, or int8 in decode-quant form
@@ -273,7 +299,12 @@ def decoder_forward(
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
 
         def tail(x, attn):
-            a = qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+            from jax.ad_checkpoint import checkpoint_name
+
+            a = checkpoint_name(
+                qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"]),
+                "attn_proj",
+            )
             x = x + a
             h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
             return x + mlp_proj(h2, lp["mlp"])
@@ -328,10 +359,11 @@ def decoder_forward(
             new_k, new_v = layer_k, layer_v
         return tail(x, attn), (new_k, new_v)
 
-    # gradient checkpointing: save each layer's input, recompute attention/MLP
-    # activations in the backward pass — the reference recipes rely on HF's
-    # gradient_checkpointing for the 7B × 8k × G=8 fwd/bwd to fit
-    layer_fn = jax.checkpoint(layer) if remat else layer
+    # gradient checkpointing: "full" saves each layer's input and recomputes
+    # attention/MLP activations in the backward pass — the reference recipes
+    # rely on HF's gradient_checkpointing for the 7B × 8k × G=8 fwd/bwd to
+    # fit; the selective policies trade HBM for less recompute (_layer_remat)
+    layer_fn = _layer_remat(layer, remat)
 
     def _xs(t):
         # the adapter tree scans alongside the layers (leading dim L)
@@ -527,7 +559,12 @@ def shared_decode_forward(
             attn = mha_shared_prefix(
                 q, kp, vp, kps, vps, ko, vo, kos, vos, k, v, bias_pref, bias_own, bias_new
             )
-        a = qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"])
+        from jax.ad_checkpoint import checkpoint_name
+
+        a = checkpoint_name(
+            qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"]),
+            "attn_proj",
+        )
         x = x + a
         h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
         x = x + mlp_proj(h2, lp["mlp"])
@@ -539,7 +576,7 @@ def shared_decode_forward(
             return x, None
         return x, (k, v)
 
-    layer_fn = jax.checkpoint(layer) if remat else layer
+    layer_fn = _layer_remat(layer, remat)
     layers = params["layers"]
     if suffix is None:
         xs = (layers, prefix.k, prefix.v)

@@ -141,15 +141,21 @@ _TEXT_MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 def attn_qkv_proj(h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int):
     """q/k/v projections from fused ("qkv") or separate layer params.
-    h: (B, S, hid) → ((B,S,nh,hd), (B,S,nkv,hd), (B,S,nkv,hd))."""
+    h: (B, S, hid) → ((B,S,nh,hd), (B,S,nkv,hd), (B,S,nkv,hd)).
+
+    Outputs carry the checkpoint_name "qkv_proj" so the selective remat
+    policies (language._layer_remat) can save them as backward residuals —
+    a no-op identity outside jax.checkpoint."""
+    from jax.ad_checkpoint import checkpoint_name
+
     B, S = h.shape[:2]
     if "qkv" in attn:
-        qkv = qmatmul(h, attn["qkv"]) + attn["qkv_b"]
+        qkv = checkpoint_name(qmatmul(h, attn["qkv"]) + attn["qkv_b"], "qkv_proj")
         q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
     else:
-        q = qmatmul(h, attn["q_w"]) + attn["q_b"]
-        k = qmatmul(h, attn["k_w"]) + attn["k_b"]
-        v = qmatmul(h, attn["v_w"]) + attn["v_b"]
+        q = checkpoint_name(qmatmul(h, attn["q_w"]) + attn["q_b"], "qkv_proj")
+        k = checkpoint_name(qmatmul(h, attn["k_w"]) + attn["k_b"], "qkv_proj")
+        v = checkpoint_name(qmatmul(h, attn["v_w"]) + attn["v_b"], "qkv_proj")
     return (
         q.reshape(B, S, nh, hd),
         k.reshape(B, S, nkv, hd),
@@ -189,31 +195,51 @@ def mlp_proj(h: jnp.ndarray, mlp: dict) -> jnp.ndarray:
                 mlp["down_w"]["s"],
             )
             return out.reshape(B, S, hid)
+    from jax.ad_checkpoint import checkpoint_name
+
     if "gu" in mlp:
-        gu = qmatmul(h, mlp["gu"])
+        gu = checkpoint_name(qmatmul(h, mlp["gu"]), "mlp_gu")
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
-        gate = qmatmul(h, mlp["gate_w"])
-        up = qmatmul(h, mlp["up_w"])
-    return qmatmul(_jax.nn.silu(gate) * up, mlp["down_w"])
+        gate = checkpoint_name(qmatmul(h, mlp["gate_w"]), "mlp_gu")
+        up = checkpoint_name(qmatmul(h, mlp["up_w"]), "mlp_gu")
+    return checkpoint_name(
+        qmatmul(_jax.nn.silu(gate) * up, mlp["down_w"]), "mlp_down"
+    )
 
 
-def quantize_text_params(text_params: dict, bits: int = 8) -> dict:
+def quantize_text_params(text_params: dict, bits: int = 8, fuse: bool = True) -> dict:
     """Quantize the decode-path HBM heavyweights of a text param tree:
     attention/MLP matmuls (per-layer scales under the scan axis), the
     embedding table, and the lm head. Norm scales and qkv biases stay bf16
     (tiny). Idempotent on already-quantized trees.
 
-    The q/k/v and gate/up projections are FUSED along the output axis before
-    quantization ("qkv"/"gu" entries): at decode batch sizes the per-layer
-    matmuls are tiny, so fewer-but-wider dots cut fixed per-kernel cost
-    (7 → 4 matmuls per layer). Per-output-channel scales make the fusion
-    numerically identical to quantizing separately."""
+    fuse=True (decode): the q/k/v and gate/up projections are FUSED along the
+    output axis before quantization ("qkv"/"gu" entries): at decode batch
+    sizes the per-layer matmuls are tiny, so fewer-but-wider dots cut fixed
+    per-kernel cost (7 → 4 matmuls per layer). Per-output-channel scales make
+    the fusion numerically identical to quantizing separately.
+
+    fuse=False (training base): weights keep their q_w/k_w/... names so LoRA
+    adapter paths still line up — the quantized-base LoRA train path
+    (rl/lora.apply_layer_lora) dequant-merges one layer at a time inside the
+    scan. This is what lets the 7B GRPO step fit ONE 16 GB chip: the int8
+    base is ~8.3 GB where bf16 is 15.5 GB."""
     out = dict(text_params)
     layers = dict(text_params["layers"])
     attn = dict(layers["self_attn"])
     mlp = dict(layers["mlp"])
-    if "qkv" not in attn:
+    if not fuse:
+        assert "qkv" not in attn and "gu" not in mlp, (
+            "unfused quantization needs an unfused tree (got decode-fused params)"
+        )
+        for key in ("q_w", "k_w", "v_w", "o_w"):
+            if not is_quantized(attn[key]):
+                attn[key] = quantize_weight(attn[key], bits=bits)
+        for key in ("gate_w", "up_w", "down_w"):
+            if not is_quantized(mlp[key]):
+                mlp[key] = quantize_weight(mlp[key], bits=bits)
+    elif "qkv" not in attn:
         qkv_w = jnp.concatenate([attn.pop("q_w"), attn.pop("k_w"), attn.pop("v_w")], axis=-1)
         attn["qkv"] = quantize_weight(qkv_w, bits=bits)
         attn["qkv_b"] = jnp.concatenate(
@@ -221,7 +247,7 @@ def quantize_text_params(text_params: dict, bits: int = 8) -> dict:
         )
         if not is_quantized(attn["o_w"]):
             attn["o_w"] = quantize_weight(attn["o_w"], bits=bits)
-    if "gu" not in mlp:
+    if fuse and "gu" not in mlp:
         gu_w = jnp.concatenate([mlp.pop("gate_w"), mlp.pop("up_w")], axis=-1)
         mlp["gu"] = quantize_weight(gu_w, bits=bits)
         if not is_quantized(mlp["down_w"]):
@@ -240,10 +266,14 @@ def quantize_text_params(text_params: dict, bits: int = 8) -> dict:
     return out
 
 
-def quantize_params(params: dict, bits: int = 8) -> dict:
-    """Quantize a full {visual, text} tree for decode. The vision tower runs
-    once per prompt (prefill-side) and stays bf16 for accuracy."""
-    return {"visual": params["visual"], "text": quantize_text_params(params["text"], bits=bits)}
+def quantize_params(params: dict, bits: int = 8, fuse: bool = True) -> dict:
+    """Quantize a full {visual, text} tree for decode (fuse=True) or as a
+    LoRA training base (fuse=False — see quantize_text_params). The vision
+    tower runs once per prompt (prefill-side) and stays bf16 for accuracy."""
+    return {
+        "visual": params["visual"],
+        "text": quantize_text_params(params["text"], bits=bits, fuse=fuse),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))

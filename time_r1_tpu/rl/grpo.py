@@ -47,7 +47,9 @@ class GRPOHyperParams:
     use_grpo: bool = False  # False → PPO-clip (reference default path)
     logp_chunk: int = 128  # sequence chunk for log_softmax memory bound
     fix_vit: bool = True  # freeze ViT except merger (timer1_trainer.py:272-288)
-    gradient_checkpointing: bool = False  # jax.checkpoint per decoder layer
+    # False | True/"full" | "dots" | "dots_small" — per-layer jax.checkpoint
+    # with an optional residual-save policy (language.REMAT_POLICIES)
+    gradient_checkpointing: object = False
 
 
 class GRPOBatch(NamedTuple):
@@ -165,7 +167,9 @@ def _hidden_states(
     (parallel/ring_attention.sequence_parallel_decoder; layout 'contiguous'
     or the balanced 'zigzag'), O(T/n) activation HBM per device. The vision
     tower and the embed/merge stay replicated (they are prefill-sized)."""
-    embeds = jnp.take(params["text"]["embed_tokens"]["embedding"], batch.input_ids, axis=0)
+    from ..ops.quant import embed_lookup
+
+    embeds = embed_lookup(params["text"]["embed_tokens"]["embedding"], batch.input_ids)
     if batch.vision is not None:
         feats = _vision_feats(params, cfg, batch, fix_vit)
         embeds = merge_vision_embeddings(
@@ -204,8 +208,10 @@ def _split_logps_entropy(
     the shared prefix once per prompt and accumulate across its rows."""
     from ..models.qwen25vl.language import NEG_INF
 
+    from ..ops.quant import embed_lookup
+
     text = params["text"]
-    embeds = jnp.take(text["embed_tokens"]["embedding"], batch.prompt_ids, axis=0)
+    embeds = embed_lookup(text["embed_tokens"]["embedding"], batch.prompt_ids)
     if batch.vision is not None:
         feats = _vision_feats(params, cfg, batch, fix_vit)
         embeds = merge_vision_embeddings(
@@ -221,7 +227,7 @@ def _split_logps_entropy(
         attention_mask=batch.prompt_mask, cache=cache, flash_q_offset=0, remat=remat,
         lora=lora,
     )
-    embeds_c = jnp.take(text["embed_tokens"]["embedding"], batch.comp_ids, axis=0)
+    embeds_c = embed_lookup(text["embed_tokens"]["embedding"], batch.comp_ids)
     prefix_bias = jnp.where(batch.prompt_mask > 0, 0.0, NEG_INF).astype(jnp.float32)
     hidden_c, _ = shared_decode_forward(
         text, cfg.text, embeds_c, batch.comp_pos, prefix, None, prefix_bias, remat=remat,
@@ -240,11 +246,44 @@ def per_token_logps_entropy(
     hidden: (B, T-1, H) — hidden states at predicting positions.
     targets: (B, T-1) — the next tokens.
     Returns (logps (B, T-1), entropy (B, T-1)), both fp32.
+
+    Quantized heads (int8 training base, quantize_params(fuse=False)): the
+    int8 table streams into the chunk einsum and the per-channel scale folds
+    into the fp32 logits — the dequantized table never materializes.
     """
-    if cfg.text.tie_word_embeddings:
-        w = params["text"]["embed_tokens"]["embedding"].T
+    from ..ops.quant import is_quantized
+
+    tied = cfg.text.tie_word_embeddings
+    w = (
+        params["text"]["embed_tokens"]["embedding"]
+        if tied
+        else params["text"]["lm_head"]["kernel"]
+    )
+    if is_quantized(w):
+        assert "q8" in w, "int4 embed/head has no training-path layout"
+        wq, ws = w["q8"], w["s"]
+        if tied:  # (V, H) per-row scales (V, 1)
+            def chunk_logits(h):
+                y = jnp.einsum(
+                    "bch,vh->bcv", h, wq.astype(h.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                return y * ws[:, 0][None, None, :]
+        else:  # (H, V) per-column scales (1, V)
+            def chunk_logits(h):
+                y = jnp.einsum(
+                    "bch,hv->bcv", h, wq.astype(h.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                return y * ws[0][None, None, :]
     else:
-        w = params["text"]["lm_head"]["kernel"]
+        w_hv = w.T if tied else w
+
+        def chunk_logits(h):
+            return jnp.einsum(
+                "bch,hv->bcv", h, w_hv, preferred_element_type=jnp.float32
+            )
+
     B, Tm1, H = hidden.shape
     pad = (-Tm1) % chunk
     hp = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
@@ -255,7 +294,7 @@ def per_token_logps_entropy(
 
     def step(_, ht):
         h, t = ht
-        logits = jnp.einsum("bch,hv->bcv", h, w, preferred_element_type=jnp.float32)
+        logits = chunk_logits(h)
         logz = jax.nn.logsumexp(logits, axis=-1)
         tgt_logit = jnp.take_along_axis(logits, t[..., None], axis=-1)[..., 0]
         logp = tgt_logit - logz

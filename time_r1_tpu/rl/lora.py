@@ -115,15 +115,27 @@ def lora_layers_tree(lora: dict, prefix: str = "text/layers/"):
 def apply_layer_lora(lp: dict, lora_slice: dict, scaling: float) -> dict:
     """One layer's functional merge W + scaling·A@B — identical math to
     merge_lora one layer at a time (the delta is a transient of the scan
-    step, recomputed in the backward under remat)."""
+    step, recomputed in the backward under remat).
+
+    Quantized base leaves ({"q8"/"q4", "s"}, ops/quant) are dequantized to
+    bf16 before the merge — one layer's bf16 weights at a time (a 7B layer is
+    ~0.47 GB, vs 15.5 GB for the whole tree), which is what lets the 7B LoRA
+    GRPO step train on a 16 GB chip over an int8 base
+    (quantize_params(fuse=False))."""
+    from ..ops.quant import dequantize_weight, is_quantized
+
     merged = {}
     for k, v in lp.items():
         sl = lora_slice.get(k) if isinstance(lora_slice, dict) else None
-        if isinstance(v, dict):
-            merged[k] = apply_layer_lora(v, sl or {}, scaling)
-        elif isinstance(sl, dict) and "lora_a" in sl:
+        if isinstance(sl, dict) and "lora_a" in sl:
             delta = (sl["lora_a"] @ sl["lora_b"]) * scaling
-            merged[k] = v + delta.astype(v.dtype)
+            if is_quantized(v):
+                base = dequantize_weight(v, dtype=jnp.bfloat16)
+                merged[k] = base + delta.astype(base.dtype)
+            else:
+                merged[k] = v + delta.astype(v.dtype)
+        elif isinstance(v, dict) and not is_quantized(v):
+            merged[k] = apply_layer_lora(v, sl or {}, scaling)
         else:
             merged[k] = v
     return merged

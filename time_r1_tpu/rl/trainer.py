@@ -115,6 +115,14 @@ class TrainConfig:
     use_grpo: bool = False
     fix_vit: bool = True
     gradient_checkpointing: bool = False  # jax.checkpoint per decoder layer
+    # residual-save policy when gradient_checkpointing is on: "full" (save
+    # layer inputs only — min HBM, bwd recomputes the whole layer), "dots"
+    # (save every projection output — bwd recomputes only elementwise +
+    # flash-attn fwd; needs ~190 MB/layer more HBM at the 3B recipe shape),
+    # "dots_small" ("dots" minus the wide gate/up residual). See
+    # models/qwen25vl/language.REMAT_POLICIES; measured in
+    # scripts/profile_train_step.py.
+    remat_policy: str = "full"
     # LoRA (N9: peft_config surface, timer1_trainer.py:184-206; trl ModelConfig names)
     use_peft: bool = False
     lora_r: int = 16
@@ -262,7 +270,9 @@ class GRPOTrainer:
             beta=config.beta,
             use_grpo=config.use_grpo,
             fix_vit=config.fix_vit,
-            gradient_checkpointing=config.gradient_checkpointing,
+            gradient_checkpointing=(config.remat_policy or "full")
+            if config.gradient_checkpointing
+            else False,
         )
         self._cp = None
         if config.context_parallel_size > 1:
