@@ -167,3 +167,86 @@ def test_vision_hidden_capture_matches_precompute(tmp_path):
     finally:
         trainer_mod.precompute_frozen_vision = orig
     assert np.isfinite(info["loss"])
+
+
+def test_grpo_trainer_step_quantized_base(tmp_path):
+    """The single-chip 7B training configuration at tiny scale (VERDICT r4
+    #1): int8 UNFUSED base shared between the loss (per-layer dequant-merge
+    in-scan) and the rollout engine (side-path adapters, zero-copy weight
+    sync), int8 KV rollouts, base-as-ref KL. One real-video step must train
+    the adapters and round-trip a checkpoint."""
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.ops.quant import quantize_params
+    from time_r1_tpu.rl import GRPOTrainer, TrainConfig
+    from time_r1_tpu.utils.rewards import REWARD_FUNCS_REGISTRY
+    from time_r1_tpu.video.pipeline import video_loader
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q_base = quantize_params(params, bits=8, fuse=False)
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
+    )
+    config = TrainConfig(
+        output_dir=str(tmp_path),
+        num_generations=4,
+        max_completion_length=6,
+        temperature=1.0,
+        beta=0.04,  # ref logps over the quantized base (adapter-disable trick)
+        use_peft=True,
+        lora_r=4,
+        rollout_quantization="int8",
+        gradient_checkpointing=True,
+        gradient_accumulation_steps=1,  # default 2 would make step 1 a no-op
+        total_pixels=8 * 28 * 28,
+        min_pixels=4 * 28 * 28,
+        fix_vit=True,
+    )
+
+    def spread_reward(completions, **kwargs):
+        return [10.0 * i for i in range(len(completions))]
+
+    trainer = GRPOTrainer(
+        q_base,
+        CFG,
+        processor,
+        reward_funcs=[REWARD_FUNCS_REGISTRY["format"], spread_reward],
+        config=config,
+        video_loader=video_loader,
+        dtype=jnp.float32,
+    )
+    # ONE weight tree: the engine holds the trainer's base, not a copy
+    assert trainer.engine.params is trainer.params
+    before = jax.tree.map(lambda x: np.asarray(x), trainer.lora)
+
+    example = {
+        "task_type": "tg",
+        "problem": "person sitting down in a chair",
+        "solution": (1.0, 7.5),
+        "video_path": VIDEO,
+        "durations": 35.04,
+        "video_start": 0.0,
+        "video_end": 3.0,
+    }
+    info = trainer.step(example)
+    assert np.isfinite(info["loss"])
+    # the rollout ran with the side-path adapters installed
+    assert trainer.engine.lora_side is not None
+    # the update moved the adapters (spread_reward guarantees advantage std)
+    moved = max(
+        float(np.abs(np.asarray(v) - before[p][n]).max())
+        for p, ab in trainer.lora.items()
+        for n, v in ab.items()
+    )
+    assert moved > 0.0
+    # the base never moved (frozen, still quantized)
+    assert trainer.params["text"]["layers"]["self_attn"]["q_w"]["q8"].dtype == jnp.int8
+
+    # checkpoint round-trip: quantized base + adapters, resume restores both
+    trainer.save_checkpoint(str(tmp_path / "ck"))
+    lora_snapshot = jax.tree.map(lambda x: np.asarray(x), trainer.lora)
+    trainer.lora = jax.tree.map(lambda x: jnp.zeros_like(x), trainer.lora)
+    trainer.load_checkpoint_state(str(tmp_path / "ck"))
+    for p, ab in trainer.lora.items():
+        for n, v in ab.items():
+            np.testing.assert_array_equal(np.asarray(v), lora_snapshot[p][n])

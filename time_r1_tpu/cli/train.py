@@ -123,6 +123,17 @@ def get_args(argv=None):
         choices=["", "int8", "int4"],
         help="weight-only quantized rollout sampling (logps recomputed full precision)",
     )
+    p.add_argument(
+        "--train_base_quantization",
+        type=str,
+        default="",
+        choices=["", "int8"],
+        help="TPU extra — quantize the FROZEN LoRA base after load "
+        "(quantize_params(fuse=False)): the single-chip 7B training "
+        "configuration (int8 base ~8.3 GB vs bf16 15.5 GB). The loss "
+        "dequant-merges per layer in-scan; rollouts share the same tree via "
+        "side-path adapters. Requires --use_peft true.",
+    )
     p.add_argument("--attn_implementation", type=str, default="flash")
     p.add_argument("--dataset_name", type=str, default="xxx")
     p.add_argument("--video_folder", type=str, default="xxx")
@@ -197,6 +208,17 @@ def _mesh_ctx(mesh):
 def _run(args, trainer, mesh, dataset):
     if trainer is None:
         params, cfg = load_checkpoint(args.model_name_or_path)
+        if getattr(args, "train_base_quantization", ""):
+            # single-chip 7B training: quantize the frozen base in place
+            # (fuse=False keeps q_w/... names so LoRA paths line up); the
+            # bf16 tree is dropped leaf-by-leaf as the pass consumes it
+            if not args.use_peft:
+                raise SystemExit("--train_base_quantization requires --use_peft true")
+            import jax as _jax
+
+            from ..ops.quant import quantize_params
+
+            params = _jax.jit(lambda t: quantize_params(t, bits=8, fuse=False))(params)
         if args.slide_window:
             cfg = cfg.with_sliding_window(True, args.sliding_window_length, args.max_window_layers)
         processor = Qwen25VLProcessor.from_pretrained(args.model_name_or_path)

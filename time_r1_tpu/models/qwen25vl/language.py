@@ -181,6 +181,7 @@ def decoder_forward(
     collect_hiddens: bool = False,  # ALSO return per-layer outputs (parity harness)
     cp: Optional[tuple[str, int]] = None,  # (axis_name, axis_size) context parallelism
     lora: Optional[tuple[dict, float]] = None,  # (stacked layer-adapter tree, scaling)
+    lora_side: Optional[tuple[dict, float]] = None,  # UNMERGED side-path adapters
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Run all decoder layers; returns (hidden (B,S,hid), updated cache).
 
@@ -190,6 +191,14 @@ def decoder_forward(
     3B LoRA backward holds base + one layer instead of base + a full merged
     copy (the full copy OOMs a 16 GB chip). Not supported with an int8 KV
     cache (rollouts run on pre-merged weights).
+
+    lora_side=(tree, scaling): the same adapter tree applied as SIDE products
+    scaling·(h@A)@B at each projection (ops/quant.lora_delta) — the base is
+    never dequantized or merged, so rollout decode runs LoRA-adapted sampling
+    over the SAME (possibly int8) tree the trainer holds: zero per-step
+    weight sync, zero duplicate weights. Identical math to the merge up to
+    float rounding (pinned by tests/test_lora_side.py). Works with the int8
+    KV cache (unlike `lora`).
 
     cp=(axis_name, n): context parallelism — the call runs INSIDE shard_map
     with the sequence dim of hidden/position_ids/attention_mask sharded over
@@ -281,10 +290,13 @@ def decoder_forward(
 
     if lora is not None:
         assert not quant_kv, "in-scan LoRA merge is a loss-path feature (bf16 KV)"
+        assert lora_side is None, "pass adapters as lora= OR lora_side=, not both"
         from ...rl.lora import apply_layer_lora
+    adapters = lora if lora is not None else lora_side
 
     def layer(x, scanned):
-        if lora is not None:
+        lslice = None
+        if adapters is not None:
             scanned, lslice = scanned
         if quant_kv:
             lp, is_sliding, layer_k, layer_v, layer_ks, layer_vs = scanned
@@ -292,8 +304,12 @@ def decoder_forward(
             lp, is_sliding, layer_k, layer_v = scanned
         if lora is not None:
             lp = apply_layer_lora(lp, lslice, lora[1])
+        side_attn = side_mlp = None
+        if lora_side is not None:
+            side_attn = (lslice.get("self_attn", {}), lora_side[1])
+            side_mlp = (lslice.get("mlp", {}), lora_side[1])
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd, lora=side_attn)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -301,13 +317,16 @@ def decoder_forward(
         def tail(x, attn):
             from jax.ad_checkpoint import checkpoint_name
 
-            a = checkpoint_name(
-                qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"]),
-                "attn_proj",
-            )
+            attn_flat = attn.reshape(B, S, nh * hd).astype(x.dtype)
+            a = qmatmul(attn_flat, lp["self_attn"]["o_w"])
+            if side_attn is not None and "o_w" in side_attn[0]:
+                from ...ops.quant import lora_delta
+
+                a = a + lora_delta(attn_flat, side_attn[0]["o_w"], lora_side[1])
+            a = checkpoint_name(a, "attn_proj")
             x = x + a
             h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-            return x + mlp_proj(h2, lp["mlp"])
+            return x + mlp_proj(h2, lp["mlp"], lora=side_mlp)
 
         if cache is not None:
             if quant_kv:
@@ -367,11 +386,12 @@ def decoder_forward(
 
     def _xs(t):
         # the adapter tree scans alongside the layers (leading dim L)
-        return (t, lora[0]) if lora is not None else t
+        return (t, adapters[0]) if adapters is not None else t
 
     if cache is not None and quant_kv:
         hidden, (k8s, kss, v8s, vss) = jax.lax.scan(
-            layer_fn, hidden, (layers, sliding, cache.k, cache.v, cache.k_scale, cache.v_scale)
+            layer_fn, hidden,
+            _xs((layers, sliding, cache.k, cache.v, cache.k_scale, cache.v_scale)),
         )
         at = (0, 0, cache.length, 0, 0)
         new_cache = KVCache(
@@ -436,6 +456,7 @@ def shared_decode_forward(
     remat: bool = False,  # jax.checkpoint per layer (GRPO loss-forward path)
     use_flash: Optional[bool] = None,  # force/deny the flash chunk path (tests)
     lora: Optional[tuple[dict, float]] = None,  # in-scan merge (decoder_forward docs)
+    lora_side: Optional[tuple[dict, float]] = None,  # side-path (decoder_forward docs)
     prefix_head_major: bool = False,  # prefix pre-transposed (L, P, Hkv, Lp, hd):
     # the S=1 decode step routes the prefix pass through the Pallas
     # online-softmax kernel (ops/decode_attention.py) — one launch/layer
@@ -499,10 +520,13 @@ def shared_decode_forward(
 
     if lora is not None:
         assert suffix is None and not quant, "in-scan LoRA merge: loss path only"
+        assert lora_side is None, "pass adapters as lora= OR lora_side=, not both"
         from ...rl.lora import apply_layer_lora
+    adapters = lora if lora is not None else lora_side
 
     def layer(x, scanned):
-        if lora is not None:
+        lslice = None
+        if adapters is not None:
             scanned, lslice = scanned
         if quant:
             lp, kp, vp, kps, vps, ko, vo, kos, vos = scanned
@@ -514,8 +538,12 @@ def shared_decode_forward(
             ko = vo = kps = vps = kos = vos = None
         if lora is not None:
             lp = apply_layer_lora(lp, lslice, lora[1])
+        side_attn = side_mlp = None
+        if lora_side is not None:
+            side_attn = (lslice.get("self_attn", {}), lora_side[1])
+            side_mlp = (lslice.get("mlp", {}), lora_side[1])
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd, lora=side_attn)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -561,13 +589,16 @@ def shared_decode_forward(
             )
         from jax.ad_checkpoint import checkpoint_name
 
-        a = checkpoint_name(
-            qmatmul(attn.reshape(B, S, nh * hd).astype(x.dtype), lp["self_attn"]["o_w"]),
-            "attn_proj",
-        )
+        attn_flat = attn.reshape(B, S, nh * hd).astype(x.dtype)
+        a = qmatmul(attn_flat, lp["self_attn"]["o_w"])
+        if side_attn is not None and "o_w" in side_attn[0]:
+            from ...ops.quant import lora_delta
+
+            a = a + lora_delta(attn_flat, side_attn[0]["o_w"], lora_side[1])
+        a = checkpoint_name(a, "attn_proj")
         x = x + a
         h2 = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + mlp_proj(h2, lp["mlp"])
+        x = x + mlp_proj(h2, lp["mlp"], lora=side_mlp)
         if quant:
             k8, ks = quantize_kv(k)
             v8, vs = quantize_kv(v)
@@ -580,8 +611,8 @@ def shared_decode_forward(
     layers = params["layers"]
     if suffix is None:
         xs = (layers, prefix.k, prefix.v)
-        if lora is not None:
-            xs = (xs, lora[0])
+        if adapters is not None:
+            xs = (xs, adapters[0])
         hidden, _ = jax.lax.scan(layer_fn, hidden, xs)
         new_suffix = None
     elif quant:
@@ -589,6 +620,8 @@ def shared_decode_forward(
             layers, prefix.k, prefix.v, prefix.k_scale, prefix.v_scale,
             suffix.k, suffix.v, suffix.k_scale, suffix.v_scale,
         )
+        if adapters is not None:
+            xs = (xs, adapters[0])
         hidden, (k8s, kss, v8s, vss) = jax.lax.scan(layer_fn, hidden, xs)
         if prefix_head_major:
             # head-major suffix (L, B, Hkv, Lo, hd): append on the Lo axis
@@ -606,6 +639,8 @@ def shared_decode_forward(
         )
     else:
         xs = (layers, prefix.k, prefix.v, suffix.k, suffix.v)
+        if adapters is not None:
+            xs = (xs, adapters[0])
         hidden, (ks, vs) = jax.lax.scan(layer_fn, hidden, xs)
         if prefix_head_major:
             ks, vs = ks.swapaxes(2, 3), vs.swapaxes(2, 3)

@@ -103,6 +103,7 @@ def forward(
     cache: Optional[KVCache] = None,
     use_flash: Optional[bool] = None,
     flash_q_offset: Optional[int] = None,
+    lora_side: Optional[tuple[dict, float]] = None,  # language.decoder_forward docs
 ) -> tuple[jnp.ndarray, Optional[KVCache]]:
     """Full forward → (logits (B, S, V) fp32, updated KV cache)."""
     from ...ops.quant import embed_lookup
@@ -130,7 +131,7 @@ def forward(
     hidden, new_cache = decoder_forward(
         params["text"], cfg.text, embeds, position_ids,
         attention_mask=attention_mask, cache=cache, use_flash=use_flash,
-        flash_q_offset=flash_q_offset,
+        flash_q_offset=flash_q_offset, lora_side=lora_side,
     )
     return lm_logits(params["text"], cfg.text, hidden), new_cache
 
@@ -144,6 +145,7 @@ def forward_shared_decode(
     suffix: KVCache,  # (L, B, max_new, …) per-row generated suffix
     prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive
     prefix_head_major: bool = False,  # (L, P, Hkv, Lp, hd) → Pallas prefix pass
+    lora_side: Optional[tuple[dict, float]] = None,  # language.decoder_forward docs
 ) -> tuple[jnp.ndarray, KVCache]:
     """Decode-phase forward with the prompt KV shared across rollout rows
     (language.shared_decode_forward) → (logits (B, S, V) fp32, new suffix)."""
@@ -156,6 +158,6 @@ def forward_shared_decode(
     )
     hidden, new_suffix = shared_decode_forward(
         params["text"], cfg.text, embeds, position_ids, prefix, suffix, prefix_bias,
-        prefix_head_major=prefix_head_major,
+        prefix_head_major=prefix_head_major, lora_side=lora_side,
     )
     return lm_logits(params["text"], cfg.text, hidden), new_suffix

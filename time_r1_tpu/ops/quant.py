@@ -139,9 +139,40 @@ def tied_head_logits(hidden: jnp.ndarray, emb) -> jnp.ndarray:
 _TEXT_MATMUL_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
 
 
-def attn_qkv_proj(h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int):
+def lora_delta(h: jnp.ndarray, sl, scaling: float) -> jnp.ndarray:
+    """scaling·(h@A)@B — the LoRA SIDE product for one adapter slice.
+
+    Exact same math as multiplying h by the merged W + scaling·A@B (matmul
+    distributivity), but the base weight is untouched: rollout decode can run
+    LoRA-adapted sampling over a shared (possibly int8) base tree with zero
+    per-step weight sync and zero duplicate weights in HBM — the rank-r
+    factors stream ~2·hid·r bytes per projection (rank 16 at 7B: ~0.2% of
+    the weight bytes). This is how multi-adapter LoRA serving works (the
+    S-LoRA/punica design), applied here to GRPO rollouts."""
+    a = sl["lora_a"].astype(h.dtype)
+    b = sl["lora_b"].astype(h.dtype)
+    return ((h @ a) @ b) * jnp.asarray(scaling, h.dtype)
+
+
+def _side(y, h, name, lora):
+    """y + the side delta for `name`, if an adapter slice exists for it."""
+    if lora is None:
+        return y
+    sl = lora[0].get(name) if isinstance(lora[0], dict) else None
+    if sl is None:
+        return y
+    return y + lora_delta(h, sl, lora[1])
+
+
+def attn_qkv_proj(
+    h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int, lora=None
+):
     """q/k/v projections from fused ("qkv") or separate layer params.
     h: (B, S, hid) → ((B,S,nh,hd), (B,S,nkv,hd), (B,S,nkv,hd)).
+
+    lora=(slice, scaling): UNMERGED side-path adapters (q_w/k_w/v_w keys of
+    one layer's adapter slice) — see lora_delta. Works with either base
+    layout because the deltas are computed from h, not from the base.
 
     Outputs carry the checkpoint_name "qkv_proj" so the selective remat
     policies (language._layer_remat) can save them as backward residuals —
@@ -156,6 +187,9 @@ def attn_qkv_proj(h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int):
         q = checkpoint_name(qmatmul(h, attn["q_w"]) + attn["q_b"], "qkv_proj")
         k = checkpoint_name(qmatmul(h, attn["k_w"]) + attn["k_b"], "qkv_proj")
         v = checkpoint_name(qmatmul(h, attn["v_w"]) + attn["v_b"], "qkv_proj")
+    q = _side(q, h, "q_w", lora)
+    k = _side(k, h, "k_w", lora)
+    v = _side(v, h, "v_w", lora)
     return (
         q.reshape(B, S, nh, hd),
         k.reshape(B, S, nkv, hd),
@@ -163,8 +197,12 @@ def attn_qkv_proj(h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int):
     )
 
 
-def mlp_proj(h: jnp.ndarray, mlp: dict) -> jnp.ndarray:
+def mlp_proj(h: jnp.ndarray, mlp: dict, lora=None) -> jnp.ndarray:
     """SwiGLU MLP from fused ("gu") or separate layer params.
+
+    lora=(slice, scaling): UNMERGED side-path adapters (gate_w/up_w/down_w
+    keys) — the gate/up deltas add BEFORE the silu nonlinearity, exactly
+    where the merged weights would put them (see lora_delta).
 
     Small-batch (decode) calls with the fused-int8 layout run the single
     Pallas kernel (ops/fused_mlp.py) that streams gate/up/down once and
@@ -177,7 +215,8 @@ def mlp_proj(h: jnp.ndarray, mlp: dict) -> jnp.ndarray:
     # 5.3 ms/step full-decode) — XLA's weight-stream pipelining wins for
     # these shapes; kept for layout/block-size tuning (docs/ROADMAP.md)
     if (
-        "gu" in mlp
+        lora is None
+        and "gu" in mlp
         and h.ndim == 3
         and h.shape[0] * h.shape[1] <= 128
         and _jax.default_backend() == "tpu"
@@ -203,8 +242,11 @@ def mlp_proj(h: jnp.ndarray, mlp: dict) -> jnp.ndarray:
     else:
         gate = checkpoint_name(qmatmul(h, mlp["gate_w"]), "mlp_gu")
         up = checkpoint_name(qmatmul(h, mlp["up_w"]), "mlp_gu")
+    gate = _side(gate, h, "gate_w", lora)
+    up = _side(up, h, "up_w", lora)
+    act = _jax.nn.silu(gate) * up
     return checkpoint_name(
-        qmatmul(_jax.nn.silu(gate) * up, mlp["down_w"]), "mlp_down"
+        _side(qmatmul(act, mlp["down_w"]), act, "down_w", lora), "mlp_down"
     )
 
 

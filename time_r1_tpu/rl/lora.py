@@ -30,19 +30,29 @@ class LoRAConfig:
         return self.alpha / self.rank
 
 
-def _target_paths(params: dict, targets) -> list[tuple]:
+def _target_paths(params: dict, targets) -> list[tuple[tuple, tuple]]:
+    """(path, stacked (L, in, out) shape) for each adaptable weight. Works on
+    bf16 trees, eval_shape'd ShapeDtypeStruct trees, AND quantized bases
+    (ops/quant {q8/q4, s} dicts are treated as leaves with the q8 shape —
+    init_lora over the int8 training base needs the fan dims, not values)."""
+    from ..ops.quant import is_quantized
+
     paths = []
 
-    def visit(path, leaf):
-        if path and path[-1] in targets and hasattr(leaf, "ndim") and leaf.ndim == 3:
-            paths.append(tuple(path))
+    def visit(path, shape):
+        if path and path[-1] in targets and len(shape) == 3:
+            paths.append((tuple(path), tuple(shape)))
 
     def walk(node, path):
-        if isinstance(node, dict):
+        if is_quantized(node):
+            if "q8" in node:
+                visit(path, node["q8"].shape)
+            # int4-packed bases have no side-path/merge training layout
+        elif isinstance(node, dict):
             for k, v in node.items():
                 walk(v, path + [k])
-        else:
-            visit(path, node)
+        elif hasattr(node, "ndim"):
+            visit(path, node.shape)
 
     walk(params, [])
     return paths
@@ -55,11 +65,8 @@ def init_lora(params: dict, cfg: LoRAConfig, key, dtype=jnp.float32) -> dict:
     out = {}
     paths = _target_paths(params, set(cfg.targets))
     keys = jax.random.split(key, max(len(paths), 1))
-    for k, path in zip(keys, paths):
-        node = params
-        for p in path:
-            node = node[p]
-        L, fan_in, fan_out = node.shape
+    for k, (path, shape) in zip(keys, paths):
+        L, fan_in, fan_out = shape
         out["/".join(path)] = {
             "lora_a": (jax.random.normal(k, (L, fan_in, cfg.rank)) * 0.02).astype(dtype),
             "lora_b": jnp.zeros((L, cfg.rank, fan_out), dtype),

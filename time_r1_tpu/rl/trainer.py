@@ -220,6 +220,22 @@ class GRPOTrainer:
             if ref_params is not None:
                 ref_params = shard_params(ref_params, mesh)
         self.params = params
+        # Quantized training base (the single-chip 7B configuration —
+        # quantize_params(fuse=False), int8 ~8.3 GB vs bf16 15.5 GB): the
+        # loss dequant-merges per layer in-scan, ROLLOUTS run over the SAME
+        # tree with side-path adapters (Engine.set_lora_side) — one weight
+        # tree total, zero per-step weight sync work. Only LoRA training can
+        # differentiate through a quantized base.
+        from ..ops.quant import is_quantized
+
+        self._quantized_base = is_quantized(
+            params["text"]["layers"]["self_attn"]["q_w"]
+        )
+        if self._quantized_base and not config.use_peft:
+            raise ValueError(
+                "a quantized base is trainable via LoRA only (use_peft=True); "
+                "full-tree training needs bf16 params"
+            )
         # LoRA: adapters as a separate pytree; base stays frozen. When beta≠0
         # the UNMERGED base doubles as the reference model — the peft
         # adapter-disable trick (timer1_trainer.py:624-631), zero extra HBM
@@ -235,10 +251,11 @@ class GRPOTrainer:
             if config.fix_vit:
                 lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
             self.lora = lora
-            self._merge_jit = jax.jit(
-                lambda base, ad: merge_lora(base, ad, self.lora_cfg)
-            )
-            if config.rollout_quantization:
+            if not self._quantized_base:
+                self._merge_jit = jax.jit(
+                    lambda base, ad: merge_lora(base, ad, self.lora_cfg)
+                )
+            if config.rollout_quantization and not self._quantized_base:
                 # fused merge→quantize as ONE program: the full merged bf16
                 # tree never materializes in HBM (XLA frees each merged leaf
                 # as soon as its quantize consumes it). Peak per rollout-sync
@@ -257,7 +274,13 @@ class GRPOTrainer:
                 ref_params = params
         self.ref_params = ref_params if config.beta != 0.0 else None
         self.engine = Engine(
-            params, cfg, dtype=dtype, quantization=config.rollout_quantization or None,
+            params, cfg, dtype=dtype,
+            # quantized base: the tree is ALREADY in its rollout form — the
+            # engine must not re-quantize (fuse=True would try to concat the
+            # {q8, s} dicts); side-path adapters carry the policy delta
+            quantization=(config.rollout_quantization or None)
+            if not self._quantized_base
+            else None,
             # int8 KV rides with int8 weights: rollout sampling tolerates the
             # quantized cache (logps for the loss are recomputed in bf16), and
             # decode at the recipe batch is KV+weight-stream-bound — bf16 KV
@@ -549,7 +572,16 @@ class GRPOTrainer:
         # are full passes over the tree — not per example). LoRA + quantized
         # rollouts ride the fused merge+quantize program (see __init__).
         with self.timers.phase("weight_sync"):
-            if self.lora is not None and self._merge_quant_jit is not None:
+            if self.lora is not None and self._quantized_base:
+                # quantized base: the engine already shares the trainer's
+                # tree — "sync" is handing it the live adapters (side-path,
+                # ops/quant.lora_delta). No merge, no re-quantize, no copy.
+                from .lora import lora_layers_tree
+
+                tree, rest = lora_layers_tree(self.lora)
+                assert not rest, "side-path adapters live in the decoder layers"
+                self.engine.set_lora_side(tree, self.lora_cfg.scaling)
+            elif self.lora is not None and self._merge_quant_jit is not None:
                 # drop the engine's previous int8 tree BEFORE dispatching the
                 # fused merge+quantize: set_params's early-drop only helps the
                 # non-prequantized path — here the jit runs in the argument
@@ -952,8 +984,14 @@ class GRPOTrainer:
 
     def _policy_params(self) -> dict:
         """Current policy weights: base, or base functionally merged with the
-        live adapters (rollouts and checkpoints see the merged model)."""
+        live adapters (rollouts and checkpoints see the merged model).
+
+        Quantized base: there IS no merged bf16 tree (that's the point — it
+        wouldn't fit the chip). Rollouts use side-path adapters over the base
+        (step_batch's weight sync); checkpoints save base + raw adapters."""
         if self.lora is not None:
+            if self._quantized_base:
+                return self.params
             return self._merge_jit(self.params, self.lora)
         return self.params
 
@@ -1070,7 +1108,10 @@ class GRPOTrainer:
 
         os.makedirs(path, exist_ok=True)
         # LoRA runs save the MERGED model (checkpoints stay HF-exportable and
-        # resumable on the non-peft path) plus the raw adapters alongside
+        # resumable on the non-peft path) plus the raw adapters alongside.
+        # Quantized-base runs save the int8 base + adapters (a merged bf16
+        # tree would not fit the chip that trained it); HF export goes
+        # through the original bf16 checkpoint + lora_adapters.npz.
         save_params(path, self._policy_params())
         if self.lora is not None:
             np.savez(
@@ -1122,7 +1163,12 @@ class GRPOTrainer:
                 restore_opt = False
         else:
             self.params = load_params(path, like=self.params)
-        self.engine.set_params(self._policy_params())
+        if self.lora is not None and self._quantized_base:
+            from .lora import lora_layers_tree
+
+            self.engine.set_lora_side(lora_layers_tree(self.lora)[0], self.lora_cfg.scaling)
+        else:
+            self.engine.set_params(self._policy_params())
         state_path = os.path.join(path, "trainer_state.json")
         if os.path.exists(state_path):
             with open(state_path) as f:

@@ -126,6 +126,7 @@ def prefill_chunk(
     feats: Optional[jnp.ndarray],  # (U_pad, hidden) or None
     feat_offsets: Optional[jnp.ndarray],  # (B,) absolute feature starts
     q_offset: int,
+    lora_side=None,  # (tree, scaling) side-path adapters (language docs)
 ):
     """One prompt chunk through the decoder, appending to the cache."""
     from ..ops.quant import embed_lookup
@@ -141,6 +142,7 @@ def prefill_chunk(
     hidden, cache = decoder_forward(
         params["text"], cfg.text, embeds, pos_ids,
         attention_mask=mask, cache=cache, flash_q_offset=q_offset,
+        lora_side=lora_side,
     )
     return lm_logits(params["text"], cfg.text, hidden[:, -1:]), cache
 
@@ -220,12 +222,14 @@ def decode_loop(
     mask: jnp.ndarray,  # (B, max_len)
     sp: SamplingParams,
     rng: jnp.ndarray,
+    lora_side=None,  # (tree, scaling) side-path adapters (language docs)
 ) -> jnp.ndarray:
     """Sample + decode up to sp.max_new_tokens; returns tokens (B, max_new)."""
 
     def step_fn(s: DecodeState, pos3):
         lg, cache = forward(
-            params, cfg, s.last[:, None], pos3, attention_mask=mask, cache=s.cache
+            params, cfg, s.last[:, None], pos3, attention_mask=mask, cache=s.cache,
+            lora_side=lora_side,
         )
         return lg[:, -1], cache
 
@@ -243,6 +247,7 @@ def decode_loop_shared(
     prefix_bias: jnp.ndarray,  # (P, Lp) f32 additive (prompt padding)
     sp: SamplingParams,
     rng: jnp.ndarray,
+    lora_side=None,  # (tree, scaling) side-path adapters (language docs)
 ) -> jnp.ndarray:
     """decode_loop over the shared-prefix cache layout: the prompt KV is
     stored once per prompt and every rollout row keeps only its own
@@ -285,7 +290,7 @@ def decode_loop_shared(
     def step_fn(s: DecodeState, pos3):
         lg, suf = forward_shared_decode(
             params, cfg, s.last[:, None], pos3, prefix, s.cache, prefix_bias,
-            prefix_head_major=head_major,
+            prefix_head_major=head_major, lora_side=lora_side,
         )
         return lg[:, -1], suf
 
@@ -323,6 +328,17 @@ class Engine:
         # the rollout and loss towers are the same function of the same bytes)
         self.capture_vision_hidden = False
         self.captured_vision: Optional[tuple] = None
+        # side-path LoRA (ops/quant.lora_delta): rollouts sample from the
+        # SAME base tree the trainer holds, adapters applied unmerged at each
+        # projection — the zero-copy weight sync for quantized-base training
+        self.lora_side: Optional[tuple] = None
+
+    def set_lora_side(self, tree: Optional[dict], scaling: float = 1.0) -> None:
+        """Install (or clear, tree=None) side-path adapters for every
+        subsequent prefill/decode. The tree is rl/lora.lora_layers_tree's
+        stacked decoder-layers form; GRPO weight sync is just this call —
+        no merge, no re-quantize, no second weight tree."""
+        self.lora_side = None if tree is None else (tree, scaling)
 
     def set_params(self, params: dict, *, prequantized: bool = False) -> None:
         """Swap in live policy weights (GRPO rollouts), re-quantizing when the
@@ -448,6 +464,7 @@ class Engine:
                 feats,
                 jnp.asarray(feat_off, jnp.int32) if feats is not None else None,
                 c0,
+                self.lora_side,
             )
         return logits[:, -1], cache
 
@@ -485,6 +502,7 @@ class Engine:
             tokens = decode_loop_shared(
                 self.params, self.cfg, prefix, suffix, first_logits,
                 jnp.asarray(start_pos), prefix_bias, sp, rng,
+                lora_side=self.lora_side,
             )
             return self._postprocess(np.asarray(tokens), len(reqs), sp)
 
@@ -498,6 +516,7 @@ class Engine:
         tokens = decode_loop(
             self.params, self.cfg, cache, first_logits,
             jnp.asarray(start_pos), jnp.asarray(mask), sp, rng,
+            lora_side=self.lora_side,
         )
         return self._postprocess(np.asarray(tokens), len(reqs), sp)
 
