@@ -45,12 +45,76 @@ A100_VLLM_7B_DECODE_TOKS_PER_S = 320.0
 # 8×(1792+200) tokens at 3B ≈ 2.9e14 FLOPs → ≈ 2.3 s at 40% MFU of 312
 # TFLOPs bf16; rewards+update ≈ 0.2 s → ≈ 5.2 s / 1600 completion tokens.
 A100_GRPO_3B_E2E_STEP_TOKS_PER_S = 310.0
+# Derived A100 3B engine END-TO-END rollout estimate (prefill+vision+decode
+# for one G=8 group): 1600 tokens / (decode 1600/700 ≈ 2.3 s + prefill/vision
+# ≈ 0.4 s) ≈ 590 tok/s. Companion to the decode-only ballpark above.
+A100_VLLM_3B_E2E_TOKS_PER_S = 590.0
+# Derived A100 7B GRPO e2e step estimate (per chip, LoRA, G=8×200-token
+# rollouts from the 1.8k-token video prompt): vLLM 7B rollout 1600 tokens at
+# the 320 tok/s ballpark ≈ 5.0 s + prefill/vision ≈ 0.5 s + the train phase
+# ≈ 7.2 s (see A100_GRPO_7B_TRAIN_PHASE_TOKS_PER_S) + rewards/update ≈ 0.2 s
+# → ≈ 12.9 s / 1600 completion tokens.
+A100_GRPO_7B_E2E_STEP_TOKS_PER_S = 125.0
+# Derived A100 7B GRPO TRAIN-PHASE estimate (everything after the rollout:
+# frozen-ViT forward + ref logps + LoRA fwd/bwd + adamw, per chip, G=8×200
+# completion tokens over a 1992-token full row). torch full-row layout:
+# policy fwd 2·6.5e9·(8·1992) ≈ 2.25e14 FLOPs; LoRA bwd under gradient
+# checkpointing ≈ recompute (1 fwd) + dL/dx chain (≈1 fwd of matmuls) → 3×
+# fwd; ref forward (beta=0.04, adapter-disable trick) +1 fwd → ≈ 9.0e14
+# FLOPs at 40% MFU of 312 TFLOPs bf16 ≈ 7.2 s → 1600/7.2 ≈ 220 tok/s.
+A100_GRPO_7B_TRAIN_PHASE_TOKS_PER_S = 220.0
 
 BATCH = 8  # G in the GRPO recipes
 PROMPT_TEXT_TOKENS = 224  # total prompt = 224-2+1568+2 = 1792 (14×128, flash-aligned)
 VIDEO_GRID = (8, 28, 28)  # 6272 patches → 1568 video tokens (3584·28² budget)
 DECODE_STEPS = 128
 REF_VIDEO = "/root/reference/assets/OHOFG.mp4"
+
+# Chip peaks (TPU v5e / "v5 lite"): utilization lines are measured-time /
+# analytic bytes-or-FLOPs against these, so the driver can judge efficiency
+# per round instead of reading prose estimates in docs/ROADMAP.md.
+V5E_PEAK_HBM_BPS = 819e9
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 4),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+def _tree_bytes(tree) -> int:
+    import jax
+
+    return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
+
+
+def _decoder_matmul_params(params) -> int:
+    """Element count of the stacked decoder matmuls (the 2·N·D FLOPs term).
+    Quantized {q8, s} leaves count the q8 elements (the s scales are not
+    contraction operands). Norm scales/biases are counted too — noise."""
+    import jax
+
+    n = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        params["text"]["layers"]
+    )[0]:
+        keys = [getattr(p, "key", None) for p in path]
+        if "s" in keys:
+            continue  # quantization scales
+        n += leaf.size
+    return n
+
+
+def _head_params(cfg) -> int:
+    return cfg.text.hidden_size * cfg.text.vocab_size
 
 
 def _setup_jax():
@@ -91,9 +155,18 @@ def _build_prompt(cfg, rng):
     return row, patches
 
 
-def _decode_bench(cfg, params, quant_kv: bool, tag: str):
+def _decode_bench(cfg, params, quant_kv: bool, tag: str, emit_util: bool = False):
     """Prefill 1×S (shared by G rows) + 128-step shared-prefix decode on the
-    given (possibly weight-quantized) params. Returns decode tokens/s."""
+    given (possibly weight-quantized) params. Returns decode tokens/s.
+
+    emit_util: also print parsed utilization lines —
+    - decode_hbm_utilization_<tag>: (text weight stream + shared prefix KV +
+      avg per-row suffix KV) bytes per step / measured step time, as a
+      fraction of the 819 GB/s v5e peak. Decode at this batch is
+      stream-bound, so this IS the efficiency number (ROADMAP §10's "94% of
+      the stream floor", now measured every round).
+    - prefill_mfu_<tag>: analytic matmul FLOPs (decoder 2·N·S + ViT 2·Nv·P)
+      / measured prefill time vs the 197 TF/s bf16 peak."""
     import functools
 
     import jax
@@ -205,6 +278,35 @@ def _decode_bench(cfg, params, quant_kv: bool, tag: str):
         f"({decode_time/DECODE_STEPS*1e3:.2f} ms/step)",
         file=sys.stderr,
     )
+    if emit_util:
+        text = params["text"]
+        wbytes = _tree_bytes(text)
+        if not cfg.text.tie_word_embeddings:
+            # untied head: the embed table is row-looked-up, not streamed
+            wbytes -= _tree_bytes(text["embed_tokens"])
+        kv_item = 1 if quant_kv else 2
+        L, hkv, hd = (
+            cfg.text.num_hidden_layers,
+            cfg.text.num_key_value_heads,
+            cfg.text.head_dim,
+        )
+        prefix_bytes = L * 1 * S * hkv * hd * 2 * kv_item
+        if quant_kv:
+            prefix_bytes += L * 1 * S * hkv * 2 * 4  # f32 scales
+        # per-row suffix averages half-filled over the 128 timed steps
+        suffix_bytes = L * BATCH * (DECODE_STEPS // 2) * hkv * hd * 2 * kv_item
+        if quant_kv:
+            suffix_bytes += L * BATCH * (DECODE_STEPS // 2) * hkv * 2 * 4
+        step_s = decode_time / DECODE_STEPS
+        hbm_util = (wbytes + prefix_bytes + suffix_bytes) / step_s / V5E_PEAK_HBM_BPS
+        mtag = tag.replace("-", "_")
+        _emit(f"decode_hbm_utilization_{mtag}", hbm_util, "fraction_of_hbm_peak", hbm_util)
+
+        n_dec = _decoder_matmul_params(params)
+        n_vit = sum(l.size for l in jax.tree.leaves(params["visual"]))
+        flops = 2 * n_dec * S + 2 * n_vit * (VIDEO_GRID[0] * VIDEO_GRID[1] * VIDEO_GRID[2])
+        mfu = flops / prefill_time / V5E_PEAK_BF16_FLOPS
+        _emit(f"prefill_mfu_{mtag}", mfu, "fraction_of_bf16_peak", mfu)
     return BATCH * DECODE_STEPS / decode_time
 
 
@@ -252,7 +354,7 @@ def section_decode3b():
     p8 = engine.params
     del params
     jax.block_until_ready(p8)
-    int8_tps = _decode_bench(cfg, p8, quant_kv=True, tag="3b-int8")
+    int8_tps = _decode_bench(cfg, p8, quant_kv=True, tag="3b-int8", emit_util=True)
 
     # the REAL engine path (shared-prefix G-way rollout incl. admission,
     # chunked prefill, while_loop decode with stop handling + host sync);
@@ -279,6 +381,13 @@ def section_decode3b():
         f"[bench:3b-engine] end-to-end G={BATCH} = {engine_time*1e3:.0f} ms for "
         f"{engine_toks} tokens ({engine_toks/engine_time:.0f} tok/s incl. prefill+vision)",
         file=sys.stderr,
+    )
+    # parsed (round-5: side metrics must be visible to the driver's
+    # round-over-round tracking, not stderr-only)
+    etps = engine_toks / engine_time
+    _emit(
+        "engine_e2e_rollout_throughput_3b_int8", etps, "tokens/s/chip",
+        etps / A100_VLLM_3B_E2E_TOKS_PER_S,
     )
 
     print(
@@ -313,7 +422,7 @@ def section_decode7b():
     p8 = _zeros_like_shapes(qshapes)
     jax.block_until_ready(p8)
 
-    tps = _decode_bench(cfg, p8, quant_kv=True, tag="7b-int8")
+    tps = _decode_bench(cfg, p8, quant_kv=True, tag="7b-int8", emit_util=True)
     print(
         json.dumps(
             {
@@ -452,6 +561,313 @@ def section_train3b():
         )
     )
 
+    # P=2 (per_device_train_batch_size 2): two prompts × G=8 = 16 rollout
+    # rows per step — amortizes weight sync, dispatch, and the prompt-shared
+    # prefill against 2× the completion tokens. The A100 baseline is
+    # per-token, so the same constant applies (its rollout/fwd/bwd terms
+    # scale with tokens; its fixed costs would amortize the same way).
+    trainer.timers = PhaseTimers()
+    ex2 = [dict(example), dict(example, problem="person closes the door")]
+    trainer.step_batch([dict(e) for e in ex2])  # compile the P=2 shapes
+    best2 = float("inf")
+    toks2 = 0
+    pool2 = ThreadPoolExecutor(max_workers=1)
+    fut = pool2.submit(trainer.prepare_requests, [dict(e) for e in ex2])
+    for _ in range(n_meas):
+        t0 = time.perf_counter()
+        reqs = fut.result()
+        fut = pool2.submit(trainer.prepare_requests, [dict(e) for e in ex2])
+        trainer.step_batch([dict(e) for e in ex2], requests=reqs)
+        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
+        dt = time.perf_counter() - t0
+        if dt < best2:
+            best2, toks2 = dt, gen_tokens["n"]
+    fut.result()
+    pool2.shutdown(wait=False, cancel_futures=True)
+    tps2 = toks2 / best2
+    print(
+        f"[bench:train3b-p2] e2e step = {best2*1e3:.0f} ms for {toks2} completion "
+        f"tokens (P=2 × G=8)",
+        file=sys.stderr,
+    )
+    _emit(
+        "grpo_train_step_e2e_3b_lora_int8rollout_p2", tps2, "tokens/s/chip",
+        tps2 / A100_GRPO_3B_E2E_STEP_TOKS_PER_S,
+    )
+
+
+def section_train7b_e2e():
+    """FULL GRPO train step at 7B on ONE chip — the north-star metric
+    (BASELINE.json: rollout+train tokens/s/chip at 7B), end to end: video
+    decode+preproc → rollout → rewards → split-loss LoRA fwd/bwd → adamw.
+
+    The single-chip 7B configuration: ONE int8 unfused weight tree (~8.3 GB)
+    shared by the trainer (per-layer dequant-merge in-scan) and the rollout
+    engine (side-path adapters, ops/quant.lora_delta — zero-copy weight
+    sync); int8 KV rollouts; base-as-ref KL. The reference trains 7B only
+    via ZeRO-3 + optimizer offload across a node
+    (/root/reference/scripts/zero3_offload.json, train_rl.sh:18)."""
+    _setup_jax()
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import jax
+    import jax.numpy as jnp
+    from tiny_tokenizer import TinyTokenizer
+
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+    from time_r1_tpu.models.qwen25vl import Qwen25VLConfig, init_params
+    from time_r1_tpu.ops.quant import quantize_params
+    from time_r1_tpu.rl import GRPOTrainer, TrainConfig
+    from time_r1_tpu.utils.rewards import REWARD_FUNCS_REGISTRY
+    from time_r1_tpu.video.pipeline import video_loader
+
+    cfg = Qwen25VLConfig.qwen25vl_7b()
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    qshapes = jax.eval_shape(
+        lambda t: quantize_params(t, bits=8, fuse=False), shapes
+    )
+    base = _zeros_like_shapes(qshapes)
+    jax.block_until_ready(base)
+    processor = Qwen25VLProcessor(
+        TinyTokenizer(), pad_token_id=cfg.pad_token_id, eos_token_id=cfg.eos_token_id
+    )
+    config = TrainConfig(
+        output_dir="/tmp/bench_train7b",
+        num_generations=BATCH,
+        max_completion_length=200,
+        temperature=1.0,
+        beta=0.04,
+        use_peft=True,
+        lora_r=16,
+        rollout_quantization="int8",  # int8 KV (weights are the int8 base)
+        gradient_checkpointing=True,
+        gradient_accumulation_steps=1,
+        report_to="none",
+    )
+    trainer = GRPOTrainer(
+        base,
+        cfg,
+        processor,
+        reward_funcs=[REWARD_FUNCS_REGISTRY["format"], REWARD_FUNCS_REGISTRY["iou_v2"]],
+        config=config,
+        video_loader=video_loader,
+        mesh=None,
+    )
+    assert trainer.engine.params is trainer.params  # ONE weight tree
+
+    gen_tokens = {"n": 0}
+    real_generate = trainer.engine.generate
+
+    def counting_generate(reqs, sp):
+        outs = real_generate(reqs, sp)
+        gen_tokens["n"] = sum(len(o) for o in outs)
+        return outs
+
+    trainer.engine.generate = counting_generate
+
+    example = {
+        "task_type": "tg",
+        "problem": "person sitting down in a chair",
+        "solution": (1.0, 7.5),
+        "video_path": REF_VIDEO,
+        "durations": 35.04,
+        "video_start": 0.0,
+        "video_end": 8.0,
+    }
+    trainer.step(dict(example))  # compile
+    trainer.timers.reset()
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    best = float("inf")
+    toks = 0
+    fut = pool.submit(trainer.prepare_requests, [dict(example)])
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reqs = fut.result()
+        fut = pool.submit(trainer.prepare_requests, [dict(example)])
+        trainer.step_batch([dict(example)], requests=reqs)
+        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, toks = dt, gen_tokens["n"]
+    fut.result()
+    pool.shutdown(wait=False, cancel_futures=True)
+    tps = toks / best
+    from time_r1_tpu.utils.profiling import PhaseTimers
+
+    trainer.timers = PhaseTimers(sync=True)
+    trainer.step(dict(example))
+    phases = "  ".join(
+        f"{k}={v['mean_ms']:.0f}ms" for k, v in sorted(trainer.timers.summary().items())
+    )
+    print(
+        f"[bench:train7b-e2e] e2e step = {best*1e3:.0f} ms for {toks} completion "
+        f"tokens; sync-timed phase breakdown (1 step, overlap disabled): {phases}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_train_step_e2e_7b_lora_int8base",
+                "value": round(tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tps / A100_GRPO_7B_E2E_STEP_TOKS_PER_S, 3),
+            }
+        )
+    )
+
+
+def section_train7b_phase():
+    """7B TRAIN PHASE on one chip — the north-star metric's train half
+    (BASELINE.json: GRPO rollout+train tokens/s/chip at 7B; the rollout half
+    is section_decode7b). Configuration: the single-chip 7B training setup —
+    int8 UNFUSED base (quantize_params(fuse=False), ~8.3 GB where bf16 is
+    15.5 GB; multi-chip bf16 FSDP is scripts/lower_7b.py), LoRA rank 16 with
+    per-layer dequant-merge inside the decoder scan, split (shared-prefix)
+    loss, beta=0.04 with the base-as-ref adapter-disable trick, full remat.
+
+    Measures the exact per-step device programs GRPOTrainer.step_batch runs
+    after the rollout: frozen-ViT precompute + ref logps + LoRA fwd/bwd/adamw
+    (trainer.py:604-642), timed as the trainer would with a host sync between
+    phases. tokens/s = the step's 1600 completion tokens / phase seconds, so
+    the line composes with the decode line into the e2e number.
+
+    Numerics of training over the int8 base (weights round to ±0.4% of their
+    per-channel amax; logp drift well under one nat) are pinned by
+    tests/test_quant.py::test_quantized_base_lora_training_path."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import optax
+
+    from time_r1_tpu.models.qwen25vl import Qwen25VLConfig, init_params
+    from time_r1_tpu.ops.quant import quantize_params
+    from time_r1_tpu.rl import GRPOHyperParams
+    from time_r1_tpu.rl.grpo import (
+        compute_ref_logps,
+        make_lora_train_step,
+        precompute_frozen_vision,
+    )
+    from time_r1_tpu.rl.lora import LoRAConfig, init_lora
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    cfg = Qwen25VLConfig.qwen25vl_7b()
+    shapes = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    qshapes = jax.eval_shape(
+        lambda t: quantize_params(t, bits=8, fuse=False), shapes
+    )
+    base = _zeros_like_shapes(qshapes)
+    jax.block_until_ready(base)
+
+    lcfg = LoRAConfig(rank=16, alpha=32.0)
+    # init_lora only reads .shape — the bf16 tree never materializes
+    lora = init_lora(shapes, lcfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
+
+    rng = np.random.default_rng(0)
+    t, h, w = VIDEO_GRID
+    n_patches = t * h * w
+    prompt = (
+        list(rng.integers(2, 100000, PROMPT_TEXT_TOKENS - 2))
+        + [cfg.vision_start_token_id]
+        + [cfg.video_token_id] * (n_patches // 4)
+        + [cfg.vision_end_token_id]
+    )
+    comps = [list(rng.integers(2, 100000, 199)) + [cfg.eos_token_id] for _ in range(BATCH)]
+    groups = [
+        {
+            "prompt_ids": prompt,
+            "completions": comps,
+            "advantages": rng.normal(size=BATCH).astype(np.float32),
+            "patches": rng.normal(size=(n_patches, cfg.vision.patch_input_dim)).astype(
+                np.float32
+            ),
+            "grid_thw": VIDEO_GRID,
+            "second_per_grid_t": 1.0,
+        }
+    ]
+    hp = GRPOHyperParams(
+        num_generations=BATCH, beta=0.04, use_grpo=False, fix_vit=True,
+        gradient_checkpointing=True,
+    )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate=1e-5, weight_decay=0.01),
+    )
+    opt_state = optimizer.init(lora)
+    train_step = make_lora_train_step(cfg, hp, optimizer, lcfg)
+    ref_fn = jax.jit(lambda p, b: compute_ref_logps(p, cfg, hp, b))
+
+    batch0 = build_grpo_split_batch(cfg, groups, dtype=jnp.bfloat16)
+
+    def phases():
+        """One step's train-phase device programs, synced at each boundary
+        (mirrors trainer.step_batch's phase timers in sync mode)."""
+        out = {}
+        t0 = time.perf_counter()
+        b = precompute_frozen_vision(base, cfg, batch0)
+        _sync(b.vision_hidden)
+        out["vision_frozen"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ref = ref_fn(base, b)
+        _sync(ref)
+        out["ref_logps"] = time.perf_counter() - t0
+        b = b._replace(ref_logps=jax.lax.stop_gradient(ref))
+        t0 = time.perf_counter()
+        new_lora, new_opt, loss, _metrics = train_step(base, lora, opt_state, b)
+        _sync(jax.tree.leaves(new_lora)[0])
+        out["train_step"] = time.perf_counter() - t0
+        return out
+
+    phases()  # compile all three programs
+    best = None
+    for _ in range(3):
+        p = phases()
+        if best is None or sum(p.values()) < sum(best.values()):
+            best = p
+    total = sum(best.values())
+    comp_tokens = BATCH * 200
+    tps = comp_tokens / total
+    detail = "  ".join(f"{k}={v*1e3:.0f}ms" for k, v in best.items())
+    print(
+        f"[bench:train7b] train phase = {total*1e3:.0f} ms for {comp_tokens} "
+        f"completion tokens ({detail}); + rollout at the decode7b rate "
+        f"≈ e2e 7B step",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "grpo_train_phase_7b_lora_int8base",
+                "value": round(tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tps / A100_GRPO_7B_TRAIN_PHASE_TOKS_PER_S, 3),
+            }
+        )
+    )
+    # MFU lines: USEFUL matmul FLOPs (remat recompute is overhead, not
+    # useful work) / measured phase time vs the bf16 peak. Split layout:
+    # the decoder sees D = Lp + B·Lc positions (the prompt once); the logp
+    # head runs over the B·Lc completion positions. LoRA bwd = dL/dx chain
+    # (≈1 fwd of matmuls; base dW is skipped, adapter dW is rank-r noise).
+    n_dec = _decoder_matmul_params(base)
+    hv = _head_params(cfg)
+    D = batch0.prompt_ids.shape[1] + BATCH * 200
+    head_D = BATCH * 200
+    fwd = 2 * n_dec * D + 2 * hv * head_D
+    train_mfu = (2 * fwd) / best["train_step"] / V5E_PEAK_BF16_FLOPS
+    ref_mfu = fwd / best["ref_logps"] / V5E_PEAK_BF16_FLOPS
+    n_vit = sum(l.size for l in jax.tree.leaves(base["visual"]))
+    vis_mfu = (
+        2 * n_vit * (VIDEO_GRID[0] * VIDEO_GRID[1] * VIDEO_GRID[2])
+    ) / best["vision_frozen"] / V5E_PEAK_BF16_FLOPS
+    _emit("loss_fwdbwd_mfu_7b_lora_int8base", train_mfu, "fraction_of_bf16_peak", train_mfu)
+    _emit("ref_logps_mfu_7b_int8base", ref_mfu, "fraction_of_bf16_peak", ref_mfu)
+    _emit("vision_tower_mfu_7b", vis_mfu, "fraction_of_bf16_peak", vis_mfu)
+
 
 def section_preproc():
     """Host video preprocessing frames/s on the in-repo real video at the
@@ -541,10 +957,79 @@ def section_preproc():
         )
     )
 
+    # ---- eval input path (cli/evaluate.py's host side): annotation row →
+    # decode/resize → tokenized Request, Charades-style consecutive
+    # sentences per video. Parsed so regressions in the worker-pool/LRU path
+    # are driver-visible (round-5; was commit-message-only). Baseline: the
+    # serial path with the reference's cross-worker cache semantics
+    # (LimitedSizeSharedDict, src/vllm_inference/data/__init__.py:99-139).
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from tiny_tokenizer import TinyTokenizer
+
+    from time_r1_tpu.data import EvalDataset
+    from time_r1_tpu.models.processor import Qwen25VLProcessor
+
+    processor = Qwen25VLProcessor(TinyTokenizer())
+    tmp = tempfile.mkdtemp(prefix="bench_eval_input_")
+    try:
+        vids = []
+        for i in range(4):
+            dst = os.path.join(tmp, f"vid{i}.mp4")
+            shutil.copy(REF_VIDEO, dst)
+            vids.append(dst)
+        ann = [
+            {
+                "video": vids[r // 3],
+                "duration": 35.04,
+                "timestamp": [1.0, 7.5],
+                "sentence": f"person sitting down in a chair variant {r}.",
+                "qid": f"q{r}",
+            }
+            for r in range(12)
+        ]
+        split = os.path.join(tmp, "ann.json")
+        with open(split, "w") as f:
+            json.dump(ann, f)
+
+        def run_cfg(num_workers, cache_size):
+            ds = EvalDataset(
+                processor,
+                datatype="tg",
+                dataset_names=["tvgbench_filter"],
+                split=split,
+                min_pixels=16 * 28 * 28,
+                total_pixels=3584 * 28 * 28,
+                use_r1_thinking_prompt=True,
+                num_workers=num_workers,
+                cache_size=cache_size,
+            )
+            t0 = time.perf_counter()
+            n = sum(1 for item in ds if "request" in item)
+            return n / (time.perf_counter() - t0)
+
+        serial_ips = run_cfg(0, 8)
+        pool_ips = run_cfg(8, 8)
+        print(
+            f"[bench:eval-input] serial+cache {serial_ips:.2f} items/s; "
+            f"worker-pool {pool_ips:.2f} items/s",
+            file=sys.stderr,
+        )
+        _emit(
+            "eval_input_host_throughput", pool_ips, "items/s",
+            pool_ips / serial_ips,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 SECTIONS = {
     "preproc": section_preproc,
     "train3b": section_train3b,
+    "train7b": section_train7b_phase,
+    "train7b_e2e": section_train7b_e2e,
     "decode7b": section_decode7b,
     "decode3b": section_decode3b,
 }
