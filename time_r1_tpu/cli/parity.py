@@ -265,10 +265,54 @@ def check_benchmark(args) -> tuple[str, str]:
             "--use_r1_thinking_prompt",
         ]
     )
+    synthetic = ""
     try:
         out_file = evaluate_cli.main(eval_args)
-    except Exception as e:  # dataset files absent on this host → skip, not fail
-        return "skip", f"benchmark data unavailable: {type(e).__name__}: {e}"
+    except Exception as e:
+        # dataset files absent on this host: fall back to a SYNTHETIC 2-row
+        # Charades-style shard on the demo video so the harness still drives
+        # the production input path end to end (EvalDataset worker-pool
+        # decode + LRU cache + native resize/patchify + scoring) — the
+        # R1@0.5 bar itself stays real-data-only
+        if not os.path.exists(args.video_path):
+            return "skip", f"benchmark data unavailable: {type(e).__name__}: {e}"
+        synthetic = f" (SYNTHETIC shard — real data unavailable: {type(e).__name__})"
+        ann = [
+            {
+                "video": args.video_path,
+                "duration": 35.04,
+                "timestamp": [1.0, 7.5],
+                "sentence": "person sitting down in a chair.",
+                "qid": "parity_0",
+            },
+            {
+                "video": args.video_path,
+                "duration": 35.04,
+                "timestamp": [10.0, 12.0],
+                "sentence": "person stands up.",
+                "qid": "parity_1",
+            },
+        ]
+        split_path = os.path.join(out_dir, "synthetic_ann.json")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(split_path, "w") as f:
+            json.dump(ann, f)
+        eval_args = evaluate_cli.get_args(
+            [
+                "--model_base", args.model_base,
+                "--datasets", "tvgbench_filter",
+                "--split", split_path,
+                "--output_dir", out_dir,
+                "--max_new_tokens", str(args.max_new_tokens),
+                "--total_pixels", str(args.total_pixels),
+                "--min_pixels", str(args.min_pixels),
+                "--use_r1_thinking_prompt",
+            ]
+        )
+        try:
+            out_file = evaluate_cli.main(eval_args)
+        except Exception as e2:
+            return "skip", f"synthetic benchmark failed: {type(e2).__name__}: {e2}"
     records = [json.loads(l) for l in open(out_file)]
     if not records:
         return "skip", "no benchmark records produced"
@@ -277,10 +321,10 @@ def check_benchmark(args) -> tuple[str, str]:
     with open(os.path.join(out_dir, "scores.json"), "w") as f:
         f.write(detail + "\n")
     # README.md:106 zero-shot bar: Charades-STA R1@0.5 ≥ 60.8
-    if "charades" in args.datasets and 0.5 in scores:
+    if not synthetic and "charades" in args.datasets and 0.5 in scores:
         verdict = "≥" if scores[0.5] >= 60.8 else "<"
         detail += f"\ncharades R1@0.5 = {scores[0.5]:.1f} {verdict} baseline 60.8"
-    return "pass", detail
+    return "pass", detail + synthetic
 
 
 # ---------------------------------------------------------------------------
