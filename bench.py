@@ -601,11 +601,15 @@ def section_train7b_e2e():
     (BASELINE.json: rollout+train tokens/s/chip at 7B), end to end: video
     decode+preproc → rollout → rewards → split-loss LoRA fwd/bwd → adamw.
 
-    The single-chip 7B configuration: ONE int8 unfused weight tree (~8.3 GB)
-    shared by the trainer (per-layer dequant-merge in-scan) and the rollout
-    engine (side-path adapters, ops/quant.lora_delta — zero-copy weight
-    sync); int8 KV rollouts; base-as-ref KL. The reference trains 7B only
-    via ZeRO-3 + optimizer offload across a node
+    The single-chip 7B configuration: ONE int8 weight tree (~8.3 GB) in the
+    decode-FUSED qkv/gu layout (round 5: per-output-channel scales make fused
+    quantization bit-identical to unfused, so rollouts stream the same
+    fewer-but-wider dots as pure serving — the unfused layout cost ~27% of
+    rollout decode), shared by the trainer (per-layer dequant-merge in-scan,
+    concatenated column-block LoRA deltas) and the rollout engine (side-path
+    adapters, ops/quant.lora_delta — zero-copy weight sync); int8 KV
+    rollouts; base-as-ref KL. The reference trains 7B only via ZeRO-3 +
+    optimizer offload across a node
     (/root/reference/scripts/zero3_offload.json, train_rl.sh:18)."""
     _setup_jax()
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -625,7 +629,7 @@ def section_train7b_e2e():
         lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
     )
     qshapes = jax.eval_shape(
-        lambda t: quantize_params(t, bits=8, fuse=False), shapes
+        lambda t: quantize_params(t, bits=8, fuse=True), shapes
     )
     base = _zeros_like_shapes(qshapes)
     jax.block_until_ready(base)
@@ -723,10 +727,12 @@ def section_train7b_phase():
     """7B TRAIN PHASE on one chip — the north-star metric's train half
     (BASELINE.json: GRPO rollout+train tokens/s/chip at 7B; the rollout half
     is section_decode7b). Configuration: the single-chip 7B training setup —
-    int8 UNFUSED base (quantize_params(fuse=False), ~8.3 GB where bf16 is
-    15.5 GB; multi-chip bf16 FSDP is scripts/lower_7b.py), LoRA rank 16 with
-    per-layer dequant-merge inside the decoder scan, split (shared-prefix)
-    loss, beta=0.04 with the base-as-ref adapter-disable trick, full remat.
+    int8 base in the decode-FUSED qkv/gu layout (quantize_params(fuse=True),
+    ~8.3 GB where bf16 is 15.5 GB; multi-chip bf16 FSDP is
+    scripts/lower_7b.py), LoRA rank 16 with per-layer dequant-merge inside
+    the decoder scan (concatenated column-block deltas), split
+    (shared-prefix) loss, beta=0.04 with the base-as-ref adapter-disable
+    trick, full remat.
 
     Measures the exact per-step device programs GRPOTrainer.step_batch runs
     after the rollout: frozen-ViT precompute + ref logps + LoRA fwd/bwd/adamw
@@ -757,7 +763,7 @@ def section_train7b_phase():
         lambda k: init_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
     )
     qshapes = jax.eval_shape(
-        lambda t: quantize_params(t, bits=8, fuse=False), shapes
+        lambda t: quantize_params(t, bits=8, fuse=True), shapes
     )
     base = _zeros_like_shapes(qshapes)
     jax.block_until_ready(base)

@@ -169,12 +169,17 @@ def test_vision_hidden_capture_matches_precompute(tmp_path):
     assert np.isfinite(info["loss"])
 
 
-def test_grpo_trainer_step_quantized_base(tmp_path):
+@pytest.mark.parametrize("fuse", [True, False], ids=["fused", "unfused"])
+def test_grpo_trainer_step_quantized_base(tmp_path, fuse):
     """The single-chip 7B training configuration at tiny scale (VERDICT r4
-    #1): int8 UNFUSED base shared between the loss (per-layer dequant-merge
+    #1): int8 base shared between the loss (per-layer dequant-merge
     in-scan) and the rollout engine (side-path adapters, zero-copy weight
     sync), int8 KV rollouts, base-as-ref KL. One real-video step must train
-    the adapters and round-trip a checkpoint."""
+    the adapters and round-trip a checkpoint.
+
+    Runs in BOTH base layouts: decode-FUSED qkv/gu (the round-5 default —
+    rollouts stream serving-shape dots; adapters merge as concatenated
+    column-block deltas) and unfused per-projection (fuse=False)."""
     from time_r1_tpu.models.processor import Qwen25VLProcessor
     from time_r1_tpu.models.qwen25vl import init_params
     from time_r1_tpu.ops.quant import quantize_params
@@ -183,7 +188,7 @@ def test_grpo_trainer_step_quantized_base(tmp_path):
     from time_r1_tpu.video.pipeline import video_loader
 
     params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
-    q_base = quantize_params(params, bits=8, fuse=False)
+    q_base = quantize_params(params, bits=8, fuse=fuse)
     processor = Qwen25VLProcessor(
         TinyTokenizer(), pad_token_id=CFG.pad_token_id, eos_token_id=CFG.eos_token_id
     )
@@ -239,8 +244,9 @@ def test_grpo_trainer_step_quantized_base(tmp_path):
         for n, v in ab.items()
     )
     assert moved > 0.0
-    # the base never moved (frozen, still quantized)
-    assert trainer.params["text"]["layers"]["self_attn"]["q_w"]["q8"].dtype == jnp.int8
+    # the base never moved (frozen, still quantized, layout preserved)
+    attn = trainer.params["text"]["layers"]["self_attn"]
+    assert attn["qkv" if fuse else "q_w"]["q8"].dtype == jnp.int8
 
     # checkpoint round-trip: quantized base + adapters, resume restores both
     trainer.save_checkpoint(str(tmp_path / "ck"))

@@ -9,6 +9,7 @@ LoRA serving; here it also eliminates the per-step merge+quantize program.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -97,16 +98,19 @@ def test_engine_side_path_single_row_path():
     assert got == want
 
 
-def test_engine_side_path_over_quantized_base():
-    """The production shape: int8 UNFUSED base (the trainer's tree,
-    quantize_params(fuse=False)) + int8 KV + side-path adapters. Greedy
-    tokens must match the dequantize→merge→requantize oracle — the engine
-    path the side-path sync replaces (same sampled bits, none of the
-    per-step merge work or the duplicate tree)."""
+@pytest.mark.parametrize("fuse", [True, False], ids=["fused", "unfused"])
+def test_engine_side_path_over_quantized_base(fuse):
+    """The production shape: int8 base (the trainer's tree) + int8 KV +
+    side-path adapters. Greedy tokens must match the
+    dequantize→merge→requantize oracle — the engine path the side-path sync
+    replaces (same sampled bits, none of the per-step merge work or the
+    duplicate tree). Both base layouts: decode-FUSED qkv/gu (the round-5
+    single-chip default — serving-shape weight streams during rollouts) and
+    unfused per-projection."""
     from time_r1_tpu.ops.quant import dequantize_weight, is_quantized, quantize_params
 
     params, lora = _params_and_lora()
-    q_base = quantize_params(params, bits=8, fuse=False)
+    q_base = quantize_params(params, bits=8, fuse=fuse)
     tree, _ = lora_layers_tree(lora)
 
     rng = np.random.default_rng(2)
@@ -135,3 +139,23 @@ def test_engine_side_path_over_quantized_base():
     # first tokens (greedy, highest margin)
     for g, w in zip(got, want):
         assert g[:2] == w[:2], (g, w)
+
+
+def test_grouped_side_adapters_match_per_projection():
+    """group_side_adapters (the engine's set_lora_side rewrite: q/k/v and
+    gate/up side products collapse to ONE A_cat @ B_blockdiag pair per
+    group) is the same math as the per-projection path — block-diagonal
+    structure makes (h@A_cat)@B_bd == concat of the component deltas."""
+    from time_r1_tpu.ops.quant import group_side_adapters
+
+    params, lora = _params_and_lora()
+    tree, _ = lora_layers_tree(lora)
+    grouped = group_side_adapters(tree)
+    # layout: the groups collapsed, the own-input projections survive
+    assert "qkv_side" in grouped["self_attn"] and "q_w" not in grouped["self_attn"]
+    assert "gu_side" in grouped["mlp"] and "gate_w" not in grouped["mlp"]
+    assert "o_w" in grouped["self_attn"] and "down_w" in grouped["mlp"]
+
+    got = _prompt_logits(params, lora_side=(grouped, LCFG.scaling))
+    want = _prompt_logits(params, lora_side=(tree, LCFG.scaling))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

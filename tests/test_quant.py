@@ -307,3 +307,93 @@ def test_quantized_base_lora_training_path():
         q_base, CFG, hp, batch, lora=(lora_layers_tree(ad)[0], lcfg.scaling)
     )[0])(lora)
     assert all(float(jnp.abs(x).max()) > 0 for x in jax.tree.leaves(g))
+
+
+def test_fused_base_lora_training_matches_unfused():
+    """The round-5 single-chip 7B training layout: the int8 base keeps the
+    decode-FUSED qkv/gu tensors (rollouts over the shared tree stream the
+    same fewer-but-wider dots as pure serving) and the in-scan merge adds the
+    per-projection LoRA deltas as ONE concatenated column-block delta
+    (rl/lora.apply_layer_lora).
+
+    Per-output-channel scales make quantize(concat) == concat(quantize)
+    BIT-exactly, and a matmul against column-concatenated weights is blockwise
+    the same reduction — so loss AND adapter grads over the fused base must
+    match the unfused base to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_grpo import _mk_groups
+    from test_model_parity import CFG
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.ops.quant import quantize_params
+    from time_r1_tpu.rl import GRPOHyperParams, grpo_loss
+    from time_r1_tpu.rl.lora import (
+        LoRAConfig,
+        fused_splits_for,
+        init_lora,
+        lora_layers_tree,
+    )
+    from time_r1_tpu.rl.rollout import build_grpo_split_batch
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q_unfused = quantize_params(params, bits=8, fuse=False)
+    q_fused = quantize_params(params, bits=8, fuse=True)
+
+    # fused quantization is BIT-identical to unfused (per-output-channel scales)
+    attn_u = q_unfused["text"]["layers"]["self_attn"]
+    attn_f = q_fused["text"]["layers"]["self_attn"]
+    np.testing.assert_array_equal(
+        np.asarray(attn_f["qkv"]["q8"]),
+        np.concatenate(
+            [np.asarray(attn_u[k]["q8"]) for k in ("q_w", "k_w", "v_w")], axis=-1
+        ),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(attn_f["qkv"]["s"]),
+        np.concatenate(
+            [np.asarray(attn_u[k]["s"]) for k in ("q_w", "k_w", "v_w")], axis=-1
+        ),
+    )
+
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    # adapters over the fused base carry the same names/shapes as unfused
+    lora_f = init_lora(
+        q_fused, lcfg, jax.random.PRNGKey(7), dtype=jnp.float32,
+        fused_splits=fused_splits_for(CFG.text),
+    )
+    lora_u = init_lora(q_unfused, lcfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    assert set(lora_f) == set(lora_u)
+    for k in lora_u:
+        assert lora_f[k]["lora_a"].shape == lora_u[k]["lora_a"].shape, k
+        assert lora_f[k]["lora_b"].shape == lora_u[k]["lora_b"].shape, k
+
+    lora = {k: v for k, v in lora_u.items() if not k.startswith("visual")}
+    lora = jax.tree.map(lambda a: a + 0.01, lora)  # nontrivial merge
+    tree, rest = lora_layers_tree(lora)
+    assert not rest
+
+    hp = GRPOHyperParams(
+        num_generations=3, beta=0.04, use_grpo=False, fix_vit=True,
+        gradient_checkpointing=True,
+    )
+    batch = build_grpo_split_batch(CFG, _mk_groups(True, G=3, P=2), dtype=jnp.float32)
+
+    def loss_of(base, ad):
+        return grpo_loss(
+            base, CFG, hp, batch, lora=(lora_layers_tree(ad)[0], lcfg.scaling)
+        )[0]
+
+    (l_f, g_f) = jax.value_and_grad(lambda ad: loss_of(q_fused, ad))(lora)
+    (l_u, g_u) = jax.value_and_grad(lambda ad: loss_of(q_unfused, ad))(lora)
+    np.testing.assert_allclose(float(l_f), float(l_u), rtol=1e-5, atol=1e-6)
+    for k in g_u:
+        for n in ("lora_a", "lora_b"):
+            # scale-normalized: XLA blocks the wider fused dot differently →
+            # f32 reassociation noise, amplified through softmax/loss
+            # (measured ≤1.6% of the leaf's grad scale). A wiring bug
+            # (swapped k/v column blocks, wrong widths) would be ~100%.
+            gf, gu = np.asarray(g_f[k][n]), np.asarray(g_u[k][n])
+            scale = np.abs(gu).max() + 1e-8
+            diff = np.abs(gf - gu).max() / scale
+            assert diff < 2e-2, (f"{k}/{n}", diff, scale)

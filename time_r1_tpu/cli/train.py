@@ -209,16 +209,19 @@ def _run(args, trainer, mesh, dataset):
     if trainer is None:
         params, cfg = load_checkpoint(args.model_name_or_path)
         if getattr(args, "train_base_quantization", ""):
-            # single-chip 7B training: quantize the frozen base in place
-            # (fuse=False keeps q_w/... names so LoRA paths line up); the
-            # bf16 tree is dropped leaf-by-leaf as the pass consumes it
+            # single-chip 7B training: quantize the frozen base in place, in
+            # the decode-FUSED layout (qkv/gu) — rollouts over the shared tree
+            # then stream the same fewer-but-wider dots as pure serving, and
+            # the in-scan LoRA merge concatenates per-projection deltas
+            # (rl/lora.apply_layer_lora). The bf16 tree is dropped
+            # leaf-by-leaf as the pass consumes it.
             if not args.use_peft:
                 raise SystemExit("--train_base_quantization requires --use_peft true")
             import jax as _jax
 
             from ..ops.quant import quantize_params
 
-            params = _jax.jit(lambda t: quantize_params(t, bits=8, fuse=False))(params)
+            params = _jax.jit(lambda t: quantize_params(t, bits=8, fuse=True))(params)
         if args.slide_window:
             cfg = cfg.with_sliding_window(True, args.sliding_window_length, args.max_window_layers)
         processor = Qwen25VLProcessor.from_pretrained(args.model_name_or_path)

@@ -164,6 +164,73 @@ def _side(y, h, name, lora):
     return y + lora_delta(h, sl, lora[1])
 
 
+def grouped_side_delta(h: jnp.ndarray, sl: dict, scaling: float) -> jnp.ndarray:
+    """scaling·(h@A_cat)@B_bd — ONE side product for a whole projection group
+    (q/k/v or gate/up share the same input h).
+
+    A_cat column-concatenates the group's A factors; B_bd is their
+    BLOCK-DIAGONAL embedding, so the product is exactly
+    concat(h@A_q@B_q, h@A_k@B_k, h@A_v@B_v) along the output axis — 2 device
+    ops per group per layer instead of 2 per projection. At decode batch
+    sizes the per-projection side matmuls are dispatch-bound (392 skinny ops
+    per 7B step, measured ~2 ms/step of the rollout tax — docs/ROADMAP.md
+    round 5); the zero blocks of B_bd cost only FLOPs/bytes that are noise
+    at rank 16 (built once per weight sync, group_side_adapters)."""
+    a = sl["a_cat"].astype(h.dtype)
+    b = sl["b_bd"].astype(h.dtype)
+    return ((h @ a) @ b) * jnp.asarray(scaling, h.dtype)
+
+
+def _block_diag_stacked(bs: list) -> jnp.ndarray:
+    """[(L, r_i, d_i)] → (L, Σr, Σd) with each input on the diagonal."""
+    L = bs[0].shape[0]
+    rs = [b.shape[1] for b in bs]
+    ds = [b.shape[2] for b in bs]
+    out = jnp.zeros((L, sum(rs), sum(ds)), bs[0].dtype)
+    r0 = d0 = 0
+    for b, r, d in zip(bs, rs, ds):
+        out = jax.lax.dynamic_update_slice(out, b, (0, r0, d0))
+        r0 += r
+        d0 += d
+    return out
+
+
+_SIDE_GROUPS = {
+    "self_attn": ("qkv_side", ("q_w", "k_w", "v_w")),
+    "mlp": ("gu_side", ("gate_w", "up_w")),
+}
+
+
+def group_side_adapters(tree: dict, dtype=None) -> dict:
+    """Rewrite a stacked decoder-adapter tree (rl/lora.lora_layers_tree form)
+    into the GROUPED side-path layout: q/k/v collapse to one
+    {"a_cat", "b_bd"} entry ("qkv_side"), gate/up to "gu_side"; o_w/down_w
+    (their own inputs) stay per-projection. Applied by Engine.set_lora_side
+    at weight sync — tiny tensors, one concat + zero-scatter per group.
+
+    dtype: pre-cast the factors (the decode path casts to the activation
+    dtype per step anyway; pre-casting to the engine dtype halves the
+    per-step stream bytes with identical math)."""
+    out = {}
+    for mod, sub in tree.items():
+        grouped = dict(sub)
+        spec = _SIDE_GROUPS.get(mod)
+        if spec is not None:
+            gname, comps = spec
+            if all(c in grouped and "lora_a" in grouped[c] for c in comps):
+                a_cat = jnp.concatenate(
+                    [grouped.pop(c)["lora_a"] for c in comps], axis=-1
+                )
+                # NB: comps were popped above from `grouped`, read from `sub`
+                b_bd = _block_diag_stacked([sub[c]["lora_b"] for c in comps])
+                if dtype is not None:
+                    a_cat = a_cat.astype(dtype)
+                    b_bd = b_bd.astype(dtype)
+                grouped[gname] = {"a_cat": a_cat, "b_bd": b_bd}
+        out[mod] = grouped
+    return out
+
+
 def attn_qkv_proj(
     h: jnp.ndarray, attn: dict, nh: int, nkv: int, hd: int, lora=None
 ):
@@ -180,16 +247,30 @@ def attn_qkv_proj(
     from jax.ad_checkpoint import checkpoint_name
 
     B, S = h.shape[:2]
+    grouped = (
+        lora[0].get("qkv_side")
+        if lora is not None and isinstance(lora[0], dict)
+        else None
+    )
     if "qkv" in attn:
-        qkv = checkpoint_name(qmatmul(h, attn["qkv"]) + attn["qkv_b"], "qkv_proj")
+        qkv = qmatmul(h, attn["qkv"]) + attn["qkv_b"]
+        if grouped is not None:
+            # ONE grouped side product on the still-fused projection
+            qkv = qkv + grouped_side_delta(h, grouped, lora[1])
+        qkv = checkpoint_name(qkv, "qkv_proj")
         q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
     else:
         q = checkpoint_name(qmatmul(h, attn["q_w"]) + attn["q_b"], "qkv_proj")
         k = checkpoint_name(qmatmul(h, attn["k_w"]) + attn["k_b"], "qkv_proj")
         v = checkpoint_name(qmatmul(h, attn["v_w"]) + attn["v_b"], "qkv_proj")
-    q = _side(q, h, "q_w", lora)
-    k = _side(k, h, "k_w", lora)
-    v = _side(v, h, "v_w", lora)
+        if grouped is not None:
+            d = grouped_side_delta(h, grouped, lora[1])
+            dq, dk, dv = jnp.split(d, [nh * hd, nh * hd + nkv * hd], axis=-1)
+            q, k, v = q + dq, k + dk, v + dv
+    if grouped is None:
+        q = _side(q, h, "q_w", lora)
+        k = _side(k, h, "k_w", lora)
+        v = _side(v, h, "v_w", lora)
     return (
         q.reshape(B, S, nh, hd),
         k.reshape(B, S, nkv, hd),
@@ -236,14 +317,27 @@ def mlp_proj(h: jnp.ndarray, mlp: dict, lora=None) -> jnp.ndarray:
             return out.reshape(B, S, hid)
     from jax.ad_checkpoint import checkpoint_name
 
+    grouped = (
+        lora[0].get("gu_side")
+        if lora is not None and isinstance(lora[0], dict)
+        else None
+    )
     if "gu" in mlp:
-        gu = checkpoint_name(qmatmul(h, mlp["gu"]), "mlp_gu")
+        gu = qmatmul(h, mlp["gu"])
+        if grouped is not None:
+            gu = gu + grouped_side_delta(h, grouped, lora[1])
+        gu = checkpoint_name(gu, "mlp_gu")
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
         gate = checkpoint_name(qmatmul(h, mlp["gate_w"]), "mlp_gu")
         up = checkpoint_name(qmatmul(h, mlp["up_w"]), "mlp_gu")
-    gate = _side(gate, h, "gate_w", lora)
-    up = _side(up, h, "up_w", lora)
+        if grouped is not None:
+            d = grouped_side_delta(h, grouped, lora[1])
+            dg, du = jnp.split(d, 2, axis=-1)
+            gate, up = gate + dg, up + du
+    if grouped is None:
+        gate = _side(gate, h, "gate_w", lora)
+        up = _side(up, h, "up_w", lora)
     act = _jax.nn.silu(gate) * up
     return checkpoint_name(
         _side(qmatmul(act, mlp["down_w"]), act, "down_w", lora), "mlp_down"
@@ -281,17 +375,25 @@ def quantize_text_params(text_params: dict, bits: int = 8, fuse: bool = True) ->
         for key in ("gate_w", "up_w", "down_w"):
             if not is_quantized(mlp[key]):
                 mlp[key] = quantize_weight(mlp[key], bits=bits)
-    elif "qkv" not in attn:
-        qkv_w = jnp.concatenate([attn.pop("q_w"), attn.pop("k_w"), attn.pop("v_w")], axis=-1)
-        attn["qkv"] = quantize_weight(qkv_w, bits=bits)
-        attn["qkv_b"] = jnp.concatenate(
-            [attn.pop("q_b"), attn.pop("k_b"), attn.pop("v_b")], axis=-1
-        )
+    else:
+        if "qkv" not in attn:
+            qkv_w = jnp.concatenate(
+                [attn.pop("q_w"), attn.pop("k_w"), attn.pop("v_w")], axis=-1
+            )
+            attn["qkv"] = quantize_weight(qkv_w, bits=bits)
+            attn["qkv_b"] = jnp.concatenate(
+                [attn.pop("q_b"), attn.pop("k_b"), attn.pop("v_b")], axis=-1
+            )
+        elif not is_quantized(attn["qkv"]):
+            # already fused but bf16 (e.g. a dequantized+merged fused tree)
+            attn["qkv"] = quantize_weight(attn["qkv"], bits=bits)
         if not is_quantized(attn["o_w"]):
             attn["o_w"] = quantize_weight(attn["o_w"], bits=bits)
-    if fuse and "gu" not in mlp:
-        gu_w = jnp.concatenate([mlp.pop("gate_w"), mlp.pop("up_w")], axis=-1)
-        mlp["gu"] = quantize_weight(gu_w, bits=bits)
+        if "gu" not in mlp:
+            gu_w = jnp.concatenate([mlp.pop("gate_w"), mlp.pop("up_w")], axis=-1)
+            mlp["gu"] = quantize_weight(gu_w, bits=bits)
+        elif not is_quantized(mlp["gu"]):
+            mlp["gu"] = quantize_weight(mlp["gu"], bits=bits)
         if not is_quantized(mlp["down_w"]):
             mlp["down_w"] = quantize_weight(mlp["down_w"], bits=bits)
     layers["self_attn"] = attn

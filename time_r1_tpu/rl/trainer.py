@@ -221,15 +221,21 @@ class GRPOTrainer:
                 ref_params = shard_params(ref_params, mesh)
         self.params = params
         # Quantized training base (the single-chip 7B configuration —
-        # quantize_params(fuse=False), int8 ~8.3 GB vs bf16 15.5 GB): the
+        # quantize_params(bits=8), int8 ~8.3 GB vs bf16 15.5 GB): the
         # loss dequant-merges per layer in-scan, ROLLOUTS run over the SAME
         # tree with side-path adapters (Engine.set_lora_side) — one weight
         # tree total, zero per-step weight sync work. Only LoRA training can
-        # differentiate through a quantized base.
+        # differentiate through a quantized base. The base may use the
+        # decode-FUSED layout (qkv/gu — the default: rollouts then stream the
+        # same fewer-but-wider dots as pure serving; per-output-channel scales
+        # make fused quantization bit-identical to unfused) or the unfused
+        # per-projection layout (fuse=False) — both merge in-scan.
         from ..ops.quant import is_quantized
 
+        _attn = params["text"]["layers"]["self_attn"]
+        self._fused_base = "qkv" in _attn
         self._quantized_base = is_quantized(
-            params["text"]["layers"]["self_attn"]["q_w"]
+            _attn["qkv"] if self._fused_base else _attn["q_w"]
         )
         if self._quantized_base and not config.use_peft:
             raise ValueError(
@@ -244,10 +250,16 @@ class GRPOTrainer:
         self._merge_jit = None
         self._merge_quant_jit = None
         if config.use_peft:
-            from .lora import LoRAConfig, init_lora, merge_lora
+            from .lora import LoRAConfig, fused_splits_for, init_lora, merge_lora
 
             self.lora_cfg = LoRAConfig(rank=config.lora_r, alpha=config.lora_alpha)
-            lora = init_lora(params, self.lora_cfg, jax.random.PRNGKey(config.seed), dtype=jnp.float32)
+            lora = init_lora(
+                params,
+                self.lora_cfg,
+                jax.random.PRNGKey(config.seed),
+                dtype=jnp.float32,
+                fused_splits=fused_splits_for(cfg.text) if self._fused_base else None,
+            )
             if config.fix_vit:
                 lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
             self.lora = lora

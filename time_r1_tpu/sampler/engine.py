@@ -332,13 +332,33 @@ class Engine:
         # SAME base tree the trainer holds, adapters applied unmerged at each
         # projection — the zero-copy weight sync for quantized-base training
         self.lora_side: Optional[tuple] = None
+        self._group_side_jit = None
 
     def set_lora_side(self, tree: Optional[dict], scaling: float = 1.0) -> None:
         """Install (or clear, tree=None) side-path adapters for every
         subsequent prefill/decode. The tree is rl/lora.lora_layers_tree's
         stacked decoder-layers form; GRPO weight sync is just this call —
-        no merge, no re-quantize, no second weight tree."""
-        self.lora_side = None if tree is None else (tree, scaling)
+        no merge, no re-quantize, no second weight tree.
+
+        The adapters are rewritten into the GROUPED layout
+        (ops/quant.group_side_adapters): q/k/v (and gate/up) side products
+        collapse to one A_cat/B_blockdiag pair per group — 8 side ops per
+        layer per decode step instead of 14 (the per-projection skinny
+        matmuls are dispatch-bound at decode batch). Pre-cast to the engine
+        dtype: the decode path casts per step anyway, so the math is
+        unchanged and the per-step stream bytes halve."""
+        if tree is None:
+            self.lora_side = None
+            return
+        if self._group_side_jit is None:
+            from functools import partial
+
+            from ..ops.quant import group_side_adapters
+
+            self._group_side_jit = jax.jit(
+                partial(group_side_adapters, dtype=self.dtype)
+            )
+        self.lora_side = (self._group_side_jit(tree), scaling)
 
     def set_params(self, params: dict, *, prequantized: bool = False) -> None:
         """Swap in live policy weights (GRPO rollouts), re-quantizing when the
