@@ -332,7 +332,7 @@ class Engine:
         # SAME base tree the trainer holds, adapters applied unmerged at each
         # projection — the zero-copy weight sync for quantized-base training
         self.lora_side: Optional[tuple] = None
-        self._group_side_jit = None
+        self._side_prep_jit = None
 
     def set_lora_side(self, tree: Optional[dict], scaling: float = 1.0) -> None:
         """Install (or clear, tree=None) side-path adapters for every
@@ -340,25 +340,38 @@ class Engine:
         stacked decoder-layers form; GRPO weight sync is just this call —
         no merge, no re-quantize, no second weight tree.
 
-        The adapters are rewritten into the GROUPED layout
-        (ops/quant.group_side_adapters): q/k/v (and gate/up) side products
-        collapse to one A_cat/B_blockdiag pair per group — 8 side ops per
-        layer per decode step instead of 14 (the per-projection skinny
-        matmuls are dispatch-bound at decode batch). Pre-cast to the engine
-        dtype: the decode path casts per step anyway, so the math is
-        unchanged and the per-step stream bytes halve."""
+        The adapters are pre-cast to the engine dtype: the decode path casts
+        per step anyway, so the math is unchanged and the per-step stream
+        bytes halve (f32 trainer adapters → bf16 engine).
+
+        TIMER1_GROUP_SIDE_LORA=1 opt-in: rewrite into the GROUPED layout
+        (ops/quant.group_side_adapters) — q/k/v (and gate/up) side products
+        collapse to one A_cat/B_blockdiag pair per group, 8 side ops per
+        layer instead of 14. Measured SLIGHTLY SLOWER on v5e at the 7B
+        rollout shape (A/B in scripts/profile_side_delta.py: none 11.44,
+        per-projection 11.94, grouped 12.13 ms/step) — XLA already fuses the
+        skinny per-projection matmuls into the decode graph, and B_bd's
+        zero-block stream outweighs the saved dispatch. Parked like the
+        other measured losers (docs/ROADMAP.md round 5); kept for regimes
+        with more adapters or higher rank."""
         if tree is None:
             self.lora_side = None
             return
-        if self._group_side_jit is None:
+        if self._side_prep_jit is None:
+            import os as _os
             from functools import partial
 
             from ..ops.quant import group_side_adapters
 
-            self._group_side_jit = jax.jit(
-                partial(group_side_adapters, dtype=self.dtype)
-            )
-        self.lora_side = (self._group_side_jit(tree), scaling)
+            if _os.environ.get("TIMER1_GROUP_SIDE_LORA", "0") == "1":
+                self._side_prep_jit = jax.jit(
+                    partial(group_side_adapters, dtype=self.dtype)
+                )
+            else:
+                self._side_prep_jit = jax.jit(
+                    lambda t: jax.tree.map(lambda x: x.astype(self.dtype), t)
+                )
+        self.lora_side = (self._side_prep_jit(tree), scaling)
 
     def set_params(self, params: dict, *, prequantized: bool = False) -> None:
         """Swap in live policy weights (GRPO rollouts), re-quantizing when the
