@@ -128,8 +128,8 @@ def get_args(argv=None):
         type=str,
         default="",
         choices=["", "int8"],
-        help="TPU extra — quantize the FROZEN LoRA base after load "
-        "(quantize_params(fuse=False)): the single-chip 7B training "
+        help="TPU extra — quantize the FROZEN LoRA base after load in the "
+        "decode-fused qkv/gu layout: the single-chip 7B training "
         "configuration (int8 base ~8.3 GB vs bf16 15.5 GB). The loss "
         "dequant-merges per layer in-scan; rollouts share the same tree via "
         "side-path adapters. Requires --use_peft true.",

@@ -247,7 +247,7 @@ def per_token_logps_entropy(
     targets: (B, T-1) — the next tokens.
     Returns (logps (B, T-1), entropy (B, T-1)), both fp32.
 
-    Quantized heads (int8 training base, quantize_params(fuse=False)): the
+    Quantized heads (int8 training base, quantize_params): the
     int8 table streams into the chunk einsum and the per-channel scale folds
     into the fp32 logits — the dequantized table never materializes.
     """
