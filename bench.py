@@ -722,44 +722,55 @@ def section_train7b_e2e():
         )
     )
 
-    # P=2 (per_device_train_batch_size 2), as in section_train3b: 2 prompts ×
-    # G=8 = 16 rollout rows amortize weight sync, dispatch and the vision
-    # tower against 2× the completion tokens. Guarded: if the P=2 loss
-    # program doesn't fit 16 GB HBM the P=1 line above must still reach the
+    # P>1 (per_device_train_batch_size), as in section_train3b: P prompts ×
+    # G=8 rollout rows amortize weight sync, dispatch and the vision tower
+    # against P× the completion tokens. Each P is guarded: if its loss
+    # program doesn't fit 16 GB HBM the smaller-P lines must still reach the
     # driver (a section that exits non-zero loses its stdout).
-    try:
-        from concurrent.futures import ThreadPoolExecutor as _TPE
+    from concurrent.futures import ThreadPoolExecutor as _TPE
 
-        ex2 = [dict(example), dict(example, problem="person closes the door")]
-        trainer.timers = PhaseTimers()
-        trainer.step_batch([dict(e) for e in ex2])  # compile the P=2 shapes
-        best2 = float("inf")
-        toks2 = 0
-        pool2 = _TPE(max_workers=1)
-        fut = pool2.submit(trainer.prepare_requests, [dict(e) for e in ex2])
-        for _ in range(3):
-            t0 = time.perf_counter()
-            reqs = fut.result()
-            fut = pool2.submit(trainer.prepare_requests, [dict(e) for e in ex2])
-            trainer.step_batch([dict(e) for e in ex2], requests=reqs)
-            jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
-            dt = time.perf_counter() - t0
-            if dt < best2:
-                best2, toks2 = dt, gen_tokens["n"]
-        fut.result()
-        pool2.shutdown(wait=False, cancel_futures=True)
-        tps2 = toks2 / best2
-        print(
-            f"[bench:train7b-e2e-p2] e2e step = {best2*1e3:.0f} ms for {toks2} "
-            f"completion tokens (P=2 × G=8)",
-            file=sys.stderr,
-        )
-        _emit(
-            "grpo_train_step_e2e_7b_lora_int8base_p2", tps2, "tokens/s/chip",
-            tps2 / A100_GRPO_7B_E2E_STEP_TOKS_PER_S,
-        )
-    except Exception as e:  # pragma: no cover - HBM-capacity dependent
-        print(f"[bench:train7b-e2e-p2] skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    sentences = [
+        "person sitting down in a chair",
+        "person closes the door",
+        "person opens a window",
+        "person picks up a book",
+    ]
+    for P in (2, 4):
+        try:
+            exs = [dict(example, problem=s) for s in sentences[:P]]
+            trainer.timers = PhaseTimers()
+            trainer.step_batch([dict(e) for e in exs])  # compile the P shapes
+            bestP = float("inf")
+            toksP = 0
+            poolP = _TPE(max_workers=1)
+            fut = poolP.submit(trainer.prepare_requests, [dict(e) for e in exs])
+            for _ in range(3):
+                t0 = time.perf_counter()
+                reqs = fut.result()
+                fut = poolP.submit(trainer.prepare_requests, [dict(e) for e in exs])
+                trainer.step_batch([dict(e) for e in exs], requests=reqs)
+                jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
+                dt = time.perf_counter() - t0
+                if dt < bestP:
+                    bestP, toksP = dt, gen_tokens["n"]
+            fut.result()
+            poolP.shutdown(wait=False, cancel_futures=True)
+            tpsP = toksP / bestP
+            print(
+                f"[bench:train7b-e2e-p{P}] e2e step = {bestP*1e3:.0f} ms for {toksP} "
+                f"completion tokens (P={P} × G=8)",
+                file=sys.stderr,
+            )
+            _emit(
+                f"grpo_train_step_e2e_7b_lora_int8base_p{P}", tpsP, "tokens/s/chip",
+                tpsP / A100_GRPO_7B_E2E_STEP_TOKS_PER_S,
+            )
+        except Exception as e:  # pragma: no cover - HBM-capacity dependent
+            print(
+                f"[bench:train7b-e2e-p{P}] skipped: {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+            break
 
 
 def section_train7b_phase():
