@@ -735,7 +735,11 @@ def section_train7b_e2e():
         "person opens a window",
         "person picks up a book",
     ]
-    for P in (2, 4):
+    # P=4 (32 rollout rows, loss D=13568) FAILS remote compile on 16 GB
+    # (allocation — same class as the no-remat failure, docs/ROADMAP.md);
+    # measured once and excluded so the driver's run doesn't pay the
+    # known-failing compile. P=2 is the single-chip sweet spot.
+    for P in (2,):
         try:
             exs = [dict(example, problem=s) for s in sentences[:P]]
             trainer.timers = PhaseTimers()
