@@ -64,6 +64,35 @@ A100_GRPO_7B_E2E_STEP_TOKS_PER_S = 125.0
 # FLOPs at 40% MFU of 312 TFLOPs bf16 ≈ 7.2 s → 1600/7.2 ≈ 220 tok/s.
 A100_GRPO_7B_TRAIN_PHASE_TOKS_PER_S = 220.0
 
+def _timed_steps(trainer, examples, gen_tokens, n=3):
+    """Best-of-n PIPELINED train steps exactly as trainer.train() runs them:
+    batch k+1's host preproc (video decode+resize+tokenize) overlaps step
+    k's device work on a prefetch thread. Returns (best_seconds,
+    completion_tokens_of_best). Joins the in-flight prepare_requests before
+    returning — it can't be cancelled and would otherwise steal the single
+    host core from whatever runs next (a sync-timed step, the next P)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    best = float("inf")
+    toks = 0
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(trainer.prepare_requests, [dict(e) for e in examples])
+    for _ in range(n):
+        t0 = time.perf_counter()
+        reqs = fut.result()
+        fut = pool.submit(trainer.prepare_requests, [dict(e) for e in examples])
+        trainer.step_batch([dict(e) for e in examples], requests=reqs)
+        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, toks = dt, gen_tokens["n"]
+    fut.result()
+    pool.shutdown(wait=False, cancel_futures=True)
+    return best, toks
+
+
 BATCH = 8  # G in the GRPO recipes
 PROMPT_TEXT_TOKENS = 224  # total prompt = 224-2+1568+2 = 1792 (14×128, flash-aligned)
 VIDEO_GRID = (8, 28, 28)  # 6272 patches → 1568 video tokens (3584·28² budget)
@@ -518,28 +547,7 @@ def section_train3b():
     }
     trainer.step(dict(example))  # compile (rollout + loss fwd/bwd + update)
     trainer.timers.reset()
-    # steady-state PIPELINED step, exactly as trainer.train() runs it: batch
-    # k+1's host preproc (video decode+resize+tokenize) overlaps step k's
-    # device work on a prefetch thread
-    from concurrent.futures import ThreadPoolExecutor
-
-    pool = ThreadPoolExecutor(max_workers=1)
-    best = float("inf")
-    toks = 0
-    n_meas = 3
-    fut = pool.submit(trainer.prepare_requests, [dict(example)])
-    for _ in range(n_meas):
-        t0 = time.perf_counter()
-        reqs = fut.result()
-        fut = pool.submit(trainer.prepare_requests, [dict(example)])
-        trainer.step_batch([dict(example)], requests=reqs)
-        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, toks = dt, gen_tokens["n"]
-    fut.result()  # an in-flight prepare_requests can't be cancelled — join it
-    # so it doesn't steal the single host core from the sync step below
-    pool.shutdown(wait=False, cancel_futures=True)
+    best, toks = _timed_steps(trainer, [example], gen_tokens)
     tps = toks / best
     # one extra step with SYNC timers: drain the device queue at every phase
     # boundary so each number is that phase's true device+host cost (the
@@ -576,21 +584,7 @@ def section_train3b():
     trainer.timers = PhaseTimers()
     ex2 = [dict(example), dict(example, problem="person closes the door")]
     trainer.step_batch([dict(e) for e in ex2])  # compile the P=2 shapes
-    best2 = float("inf")
-    toks2 = 0
-    pool2 = ThreadPoolExecutor(max_workers=1)
-    fut = pool2.submit(trainer.prepare_requests, [dict(e) for e in ex2])
-    for _ in range(n_meas):
-        t0 = time.perf_counter()
-        reqs = fut.result()
-        fut = pool2.submit(trainer.prepare_requests, [dict(e) for e in ex2])
-        trainer.step_batch([dict(e) for e in ex2], requests=reqs)
-        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
-        dt = time.perf_counter() - t0
-        if dt < best2:
-            best2, toks2 = dt, gen_tokens["n"]
-    fut.result()
-    pool2.shutdown(wait=False, cancel_futures=True)
+    best2, toks2 = _timed_steps(trainer, ex2, gen_tokens)
     tps2 = toks2 / best2
     print(
         f"[bench:train3b-p2] e2e step = {best2*1e3:.0f} ms for {toks2} completion "
@@ -688,23 +682,7 @@ def section_train7b_e2e():
     }
     trainer.step(dict(example))  # compile
     trainer.timers.reset()
-    from concurrent.futures import ThreadPoolExecutor
-
-    pool = ThreadPoolExecutor(max_workers=1)
-    best = float("inf")
-    toks = 0
-    fut = pool.submit(trainer.prepare_requests, [dict(example)])
-    for _ in range(3):
-        t0 = time.perf_counter()
-        reqs = fut.result()
-        fut = pool.submit(trainer.prepare_requests, [dict(example)])
-        trainer.step_batch([dict(example)], requests=reqs)
-        jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, toks = dt, gen_tokens["n"]
-    fut.result()
-    pool.shutdown(wait=False, cancel_futures=True)
+    best, toks = _timed_steps(trainer, [example], gen_tokens)
     tps = toks / best
     from time_r1_tpu.utils.profiling import PhaseTimers
 
@@ -734,8 +712,6 @@ def section_train7b_e2e():
     # against P× the completion tokens. Each P is guarded: if its loss
     # program doesn't fit 16 GB HBM the smaller-P lines must still reach the
     # driver (a section that exits non-zero loses its stdout).
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-
     sentences = [
         "person sitting down in a chair",
         "person closes the door",
@@ -751,21 +727,7 @@ def section_train7b_e2e():
             exs = [dict(example, problem=s) for s in sentences[:P]]
             trainer.timers = PhaseTimers()
             trainer.step_batch([dict(e) for e in exs])  # compile the P shapes
-            bestP = float("inf")
-            toksP = 0
-            poolP = _TPE(max_workers=1)
-            fut = poolP.submit(trainer.prepare_requests, [dict(e) for e in exs])
-            for _ in range(3):
-                t0 = time.perf_counter()
-                reqs = fut.result()
-                fut = poolP.submit(trainer.prepare_requests, [dict(e) for e in exs])
-                trainer.step_batch([dict(e) for e in exs], requests=reqs)
-                jax.block_until_ready(jax.tree.leaves(trainer.lora)[0])
-                dt = time.perf_counter() - t0
-                if dt < bestP:
-                    bestP, toksP = dt, gen_tokens["n"]
-            fut.result()
-            poolP.shutdown(wait=False, cancel_futures=True)
+            bestP, toksP = _timed_steps(trainer, exs, gen_tokens)
             tpsP = toksP / bestP
             print(
                 f"[bench:train7b-e2e-p{P}] e2e step = {bestP*1e3:.0f} ms for {toksP} "

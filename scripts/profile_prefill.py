@@ -109,12 +109,10 @@ def main():
                 best = min(best, time.perf_counter() - t0)
         print(f"[prefill:{mode}] {best*1e3:.1f} ms for {S} tokens", flush=True)
 
-    # analytic floors for the attribution
-    n_dec = sum(
-        leaf.size
-        for path, leaf in jax.tree_util.tree_flatten_with_path(p8["text"]["layers"])[0]
-        if not any(getattr(p, "key", None) == "s" for p in path)
-    )
+    # analytic floors for the attribution (same accounting as bench's MFU lines)
+    from bench import _decoder_matmul_params
+
+    n_dec = _decoder_matmul_params(p8)
     flops = 2 * n_dec * S
     peak = 197e12
     print(

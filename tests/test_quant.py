@@ -283,12 +283,6 @@ def test_quantized_base_lora_training_path():
     # (1) wiring oracle: dequantize every quantized leaf to bf16 and merge
     # conventionally — must match the in-scan dequant-merge path closely
     # (differences are bf16 reassociation only)
-    deq = jax.tree.map(
-        lambda x: x,
-        q_base,
-        is_leaf=is_quantized,
-    )
-
     def deq_leaf(x):
         return dequantize_weight(x, dtype=jnp.bfloat16) if is_quantized(x) else x
 
@@ -397,3 +391,44 @@ def test_fused_base_lora_training_matches_unfused():
             scale = np.abs(gu).max() + 1e-8
             diff = np.abs(gf - gu).max() / scale
             assert diff < 2e-2, (f"{k}/{n}", diff, scale)
+
+
+def test_quantized_checkpoint_roundtrip_preserves_layout(tmp_path):
+    """A quantized-base run saves int8 {q8, s} trees (cli/train
+    --train_base_quantization → save_checkpoint); load_checkpoint must give
+    them back BIT-exactly — q8 stays int8 (not cast to the bf16 model
+    dtype) and the f32 scales keep full precision. The SF loop's round
+    handoff reloads checkpoints through exactly this path."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_model_parity import CFG
+    from time_r1_tpu.models.qwen25vl import init_params
+    from time_r1_tpu.models.qwen25vl.convert import (
+        config_to_plain_dict,
+        load_checkpoint,
+    )
+    from time_r1_tpu.ops.quant import quantize_params
+    from time_r1_tpu.utils.checkpoint import save_params
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    q = quantize_params(params, bits=8, fuse=True)
+    save_params(str(tmp_path), q)
+    (tmp_path / "timer1_config.json").write_text(_json.dumps(config_to_plain_dict(CFG)))
+
+    loaded, cfg2 = load_checkpoint(str(tmp_path))
+    attn = loaded["text"]["layers"]["self_attn"]
+    assert attn["qkv"]["q8"].dtype == jnp.int8
+    assert attn["qkv"]["s"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(attn["qkv"]["q8"]),
+        np.asarray(q["text"]["layers"]["self_attn"]["qkv"]["q8"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(attn["qkv"]["s"]),
+        np.asarray(q["text"]["layers"]["self_attn"]["qkv"]["s"]),
+    )
+    # non-quantized leaves still land in the model dtype
+    assert loaded["text"]["norm"]["scale"].dtype == jnp.bfloat16

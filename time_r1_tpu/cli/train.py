@@ -221,7 +221,13 @@ def _run(args, trainer, mesh, dataset):
 
             from ..ops.quant import quantize_params
 
-            params = _jax.jit(lambda t: quantize_params(t, bits=8, fuse=True))(params)
+            # donate the bf16 tree: each consumed leaf's HBM is reusable for
+            # the int8 output — without donation the ~15.5 GB bf16 7B tree
+            # and the ~8.3 GB int8 tree would be live at once, which cannot
+            # fit the 16 GB chip this flag exists for
+            params = _jax.jit(
+                lambda t: quantize_params(t, bits=8, fuse=True), donate_argnums=0
+            )(params)
         if args.slide_window:
             cfg = cfg.with_sliding_window(True, args.sliding_window_length, args.max_window_layers)
         processor = Qwen25VLProcessor.from_pretrained(args.model_name_or_path)

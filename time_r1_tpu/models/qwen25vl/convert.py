@@ -167,7 +167,19 @@ def load_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[dict, Qwen25VLConfig
         with open(native_cfg) as f:
             cfg = config_from_plain_dict(json.load(f))
         params = load_params(path)
-        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        from ...ops.quant import is_quantized
+
+        def _cast(node):
+            # preserve quantized {q8/q4, s} dicts exactly: a quantized-base
+            # run saves them (cli/train --train_base_quantization) and a
+            # blind cast would turn q8 int8 into bf16 (corrupting the layout
+            # every int8 kernel expects) and f32 scales into bf16 (changing
+            # the dequant numerics)
+            if is_quantized(node):
+                return {k: jnp.asarray(v) for k, v in node.items()}
+            return jnp.asarray(node, dtype)
+
+        params = jax.tree.map(_cast, params, is_leaf=is_quantized)
         return params, cfg
     with open(os.path.join(path, "config.json")) as f:
         cfg = Qwen25VLConfig.from_hf_dict(json.load(f))

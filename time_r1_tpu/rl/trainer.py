@@ -262,6 +262,15 @@ class GRPOTrainer:
             )
             if config.fix_vit:
                 lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
+            if not lora:
+                # e.g. an int4-packed base: _target_paths has no training
+                # layout for q4 leaves, so init_lora returns {} — training
+                # would "succeed" while updating nothing
+                raise ValueError(
+                    "use_peft=True found no adaptable weights in this base "
+                    "(int4-packed bases are serving-only; train over int8 "
+                    "or bf16)"
+                )
             self.lora = lora
             if not self._quantized_base:
                 self._merge_jit = jax.jit(
@@ -1170,6 +1179,16 @@ class GRPOTrainer:
                     p, n = key.split("::")
                     lora.setdefault(p, {})[n] = jnp.asarray(z[key], jnp.float32)
                 self.lora = lora
+            elif self._quantized_base:
+                # a quantized-base run always saves base + adapters together
+                # (_policy_params); loading a merged-only checkpoint here
+                # would allocate a SECOND base tree (engine keeps the old
+                # one — 2× HBM and silent rollout/loss divergence)
+                raise ValueError(
+                    f"quantized-base resume needs {lora_path} — this "
+                    "checkpoint has no adapters; pass it as "
+                    "--model_name_or_path to start a fresh run instead"
+                )
             else:
                 self.params = load_params(path, like=self.params)
                 restore_opt = False
