@@ -191,9 +191,13 @@ def _decode_bench(cfg, params, quant_kv: bool, tag: str, emit_util: bool = False
     emit_util: also print parsed utilization lines —
     - decode_hbm_utilization_<tag>: (text weight stream + shared prefix KV +
       avg per-row suffix KV) bytes per step / measured step time, as a
-      fraction of the 819 GB/s v5e peak. Decode at this batch is
-      stream-bound, so this IS the efficiency number (ROADMAP §10's "94% of
-      the stream floor", now measured every round).
+      fraction of the 819 GB/s v5e PEAK. Decode at this batch is
+      stream-bound, so this is the tracked efficiency series. NB it is a
+      stricter ratio than ROADMAP §10's "94% of the stream floor": §10
+      divides the matmul-stream PHASE (~3.6 of 4.96 ms) by the ~770 GB/s
+      achievable rate, while this line divides the whole step (incl.
+      attention math, sampling, elementwise) by the nameplate peak — the
+      same 3B int8 step scores ~0.75 here and ~94%-of-floor there.
     - prefill_mfu_<tag>: analytic matmul FLOPs (decoder 2·N·S + ViT 2·Nv·P)
       / measured prefill time vs the 197 TF/s bf16 peak."""
     import functools
