@@ -1078,12 +1078,25 @@ def main():
     lines = []
     for name in SECTIONS:  # decode3b (headline) runs & prints last
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--section", name],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        # one retry after a drain pause: the previous section's subprocess
+        # exits with os._exit, and the remote TPU server can lag freeing its
+        # allocations — observed once as a spurious RESOURCE_EXHAUSTED in
+        # the next section that a 30 s wait cures
+        for attempt in (0, 1):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--section", name],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            if proc.returncode == 0 or attempt == 1:
+                break
+            print(
+                f"[bench] section {name} rc={proc.returncode}; retrying after "
+                "a 30 s device-drain pause",
+                file=sys.stderr,
+            )
+            time.sleep(30)
         sys.stderr.write(proc.stderr)
         if proc.returncode != 0:
             print(f"[bench] section {name} FAILED (rc={proc.returncode})", file=sys.stderr)
