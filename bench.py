@@ -1043,8 +1043,12 @@ def section_preproc():
             n = sum(1 for item in ds if "request" in item)
             return n / (time.perf_counter() - t0)
 
-        serial_ips = run_cfg(0, 8)
-        pool_ips = run_cfg(8, 8)
+        # best-of-2 each, interleaved: on this 1-core host the pool/serial
+        # ratio is noise-dominated (GIL-released decode still shares one
+        # core), and a single cold pass per config swung vs_baseline
+        # 0.78-1.38 run to run
+        serial_ips = max(run_cfg(0, 8), run_cfg(0, 8))
+        pool_ips = max(run_cfg(8, 8), run_cfg(8, 8))
         print(
             f"[bench:eval-input] serial+cache {serial_ips:.2f} items/s; "
             f"worker-pool {pool_ips:.2f} items/s",
