@@ -147,3 +147,44 @@ def test_chunked_prefill_interleaves_decode(jx_params, monkeypatch):  # noqa: F8
     # slots were resident while the 600-token prompt prefilled in 256-token
     # chunks → at least one decode segment ran inside an admission
     assert state["interleaved"] >= 1, state
+
+
+def test_paged_side_path_lora_matches_merged(jx_params):  # noqa: F811
+    """Side-path LoRA on the PAGED engine (vLLM --enable-lora capability on
+    the continuous-batching path): greedy tokens over base + unmerged
+    adapters must equal the slot engine on functionally MERGED weights —
+    prefill (admission) and the paged decode segments both apply the
+    deltas."""
+    import jax
+
+    from time_r1_tpu.rl.lora import LoRAConfig, init_lora, lora_layers_tree, merge_lora
+
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    lora = init_lora(jx_params, lcfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    lora = {k: v for k, v in lora.items() if not k.startswith("visual")}
+    lora = jax.tree.map(lambda a: a + 0.03, lora)  # B starts at 0 — make it real
+    tree, rest = lora_layers_tree(lora)
+    assert not rest
+
+    rng = np.random.default_rng(3)
+    reqs = [
+        Request(input_ids=list(rng.integers(2, 200, int(n))))
+        for n in (9, 21, 14)  # heterogeneous, > slots → allocator recycling
+    ]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_token_ids=CFG.stop_token_ids)
+
+    paged = PagedEngine(
+        jx_params, CFG, max_slots=2, max_len=128, page_size=16, dtype=jnp.float32
+    )
+    paged.set_lora_side(tree, lcfg.scaling)
+    got = paged.generate(reqs, sp)
+
+    oracle = Engine(merge_lora(jx_params, lora, lcfg), CFG, dtype=jnp.float32)
+    want = oracle.generate(reqs, sp)
+    assert got == want
+
+    # clearing restores the base policy
+    paged.set_lora_side(None)
+    assert paged.generate(reqs, sp) == Engine(jx_params, CFG, dtype=jnp.float32).generate(
+        reqs, sp
+    )

@@ -140,8 +140,13 @@ def _paged_one_step(
     steps: jnp.ndarray,  # (slots,) generated so far
     live: jnp.ndarray,  # (slots,) bool
     rng: jnp.ndarray,
+    lora_side=None,  # (stacked decoder-adapter tree, scaling) — language docs
 ):
-    """One decode step over the paged pool → (pool, next_token (slots,))."""
+    """One decode step over the paged pool → (pool, next_token (slots,)).
+
+    lora_side: UNMERGED side-path adapters (ops/quant.lora_delta) applied at
+    every projection — vLLM --enable-lora capability on the paged engine
+    (one adapter set; the base weights stay shared/quantized)."""
     from ..ops.paged_attention import (
         combine_with_new_token,
         paged_prefix_attention,
@@ -171,12 +176,19 @@ def _paged_one_step(
     use_kernel = jax.default_backend() == "tpu" and hd % 128 == 0 and P % 128 == 0
 
     def layer(x, scanned):
+        lslice = None
+        if lora_side is not None:
+            scanned, lslice = scanned  # adapter tree scans WITH the layers
         if kv_quant:
             lp, layer_k, layer_v, layer_ks, layer_vs = scanned
         else:
             lp, layer_k, layer_v = scanned  # layer_k/v: (nkv, n_pages, P, hd)
+        side_attn = side_mlp = None
+        if lora_side is not None:
+            side_attn = (lslice.get("self_attn", {}), lora_side[1])
+            side_mlp = (lslice.get("mlp", {}), lora_side[1])
         h = _rms_norm(x, lp["input_layernorm"]["scale"], eps)
-        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd)
+        q, k, v = attn_qkv_proj(h, lp["self_attn"], nh, nkv, hd, lora=side_attn)
         qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
         q = (qf * cos_b + _rotate_half(qf) * sin_b).astype(x.dtype)
         k = (kf * cos_b + _rotate_half(kf) * sin_b).astype(x.dtype)
@@ -197,9 +209,14 @@ def _paged_one_step(
             )
         attn = combine_with_new_token(acc, m, l, qg, k[:, 0], v[:, 0])
         attn = attn.reshape(slots, 1, nh * hd).astype(x.dtype)
-        x = x + qmatmul(attn, lp["self_attn"]["o_w"])
+        a = qmatmul(attn, lp["self_attn"]["o_w"])
+        if side_attn is not None and "o_w" in side_attn[0]:
+            from ..ops.quant import lora_delta
+
+            a = a + lora_delta(attn, side_attn[0]["o_w"], lora_side[1])
+        x = x + a
         h = _rms_norm(x, lp["post_attention_layernorm"]["scale"], eps)
-        x = x + mlp_proj(h, lp["mlp"])
+        x = x + mlp_proj(h, lp["mlp"], lora=side_mlp)
         return x, (k[:, 0], v[:, 0])
 
     scanned = (
@@ -207,6 +224,8 @@ def _paged_one_step(
         if kv_quant
         else (params["text"]["layers"], pool.k, pool.v)
     )
+    if lora_side is not None:
+        scanned = (scanned, lora_side[0])
     x, (ks, vs) = jax.lax.scan(layer, x, scanned)
     # ks/vs: (L, slots, nkv, hd) — ONE all-layer scatter at each slot's write
     # cell. Dead slots write into the reserved scratch page 0 (their stale
@@ -258,6 +277,7 @@ def paged_decode_segment(
     active: jnp.ndarray,  # (slots,) bool — occupied slots
     max_steps: jnp.ndarray,  # (slots,) per-slot remaining budget
     rng: jnp.ndarray,
+    lora_side=None,  # (tree, scaling) side-path adapters (_paged_one_step docs)
 ):
     """Up to `segment` on-device decode steps (iteration-level scheduling —
     same K-step host-sync pattern as sampler.continuous.decode_segment).
@@ -268,7 +288,9 @@ def paged_decode_segment(
         pool, last, steps, done, rng = carry
         live = active & ~done & (steps < max_steps)
         rng, sub = jax.random.split(rng)
-        pool, nxt = _paged_one_step(params, pool, cfg, sp, last, start_pos, steps, live, sub)
+        pool, nxt = _paged_one_step(
+            params, pool, cfg, sp, last, start_pos, steps, live, sub, lora_side
+        )
         done = done | (live & jnp.isin(nxt, stop_ids))
         last = jnp.where(live, nxt, last)
         steps = steps + live.astype(jnp.int32)
@@ -320,6 +342,16 @@ class PagedEngine:
         self.prefill_chunk_tokens = prefill_chunk_tokens
         # prefill (and its cache) stay bf16; pages quantize at write_prompt
         self._prefill_engine = Engine(params, cfg, dtype, prefill_chunk_tokens)
+        self.lora_side = None
+
+    def set_lora_side(self, tree, scaling: float = 1.0) -> None:
+        """Install (or clear) ONE set of side-path LoRA adapters for every
+        subsequent prefill/decode — vLLM --enable-lora capability on the
+        continuous paged engine. The prefill engine prepares the tree
+        (dtype pre-cast / optional grouping, Engine.set_lora_side docs) and
+        the decode segments reuse the prepared form."""
+        self._prefill_engine.set_lora_side(tree, scaling)
+        self.lora_side = self._prefill_engine.lora_side
 
     def _admit_many(self, pool_box, allocator, admits, sp, on_chunk=None, register=None):
         """Admissions grouped by prompt bucket, one batched prefill per group.
@@ -483,6 +515,7 @@ class PagedEngine:
                 jnp.asarray(active_np),
                 jnp.asarray(max_steps, jnp.int32),
                 sub,
+                self.lora_side,
             )
             toks = np.asarray(toks)
             steps_old = steps.copy()
